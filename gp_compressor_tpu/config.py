@@ -1,0 +1,140 @@
+"""Typed configuration tree for the whole framework.
+
+The reference has no config system — constructor defaults and magic numbers
+(reference: src/gp_compressor.h:65, src/sparse_gp.h:48, src/rbf_kernel.h:24,
+src/gp_registration.cpp:10, src/gp_mapping.cpp:7). Here every tunable lives
+in one dataclass tree so that workloads, tests and benchmarks share a single
+source of truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GPConfig:
+    """Sparse-GP engine configuration.
+
+    Defaults mirror the reference: capacity=100, s20=1e-1
+    (src/sparse_gp.h:48), RBF params (sigmaf_sq, l_sq) = (100, 1)
+    (src/rbf_kernel.h:24), eps_tol=1e-6 (src/sparse_gp.hpp:30).
+    The RGB field GP uses s20=1e2 and eps_tol=1e-4
+    (src/sparse_gp_field.h:43, src/sparse_gp_field.hpp:16).
+    """
+
+    capacity: int = 100          # max number of retained basis vectors
+    slots: int = 128             # padded state size; must be >= capacity + 1.
+                                 # 128 keeps [slots, slots] blocks MXU/VPU tiled.
+    dim: int = 2                 # input dimension (u, v in the patch plane)
+    dout: int = 1                # output dimension (1 = depth, 3 = RGB)
+    sigmaf_sq: float = 100.0     # RBF signal variance
+    l_sq: float = 1.0            # RBF squared lengthscale
+    s20: float = 1e-1            # observation noise variance
+    eps_tol: float = 1e-6        # novelty threshold: gamma below => sparse update
+    gamma_tiny: float = 1e-12    # numerical floor (src/sparse_gp.hpp:146)
+    geom_tol: float = 1e-9       # geometric deletion threshold (src/sparse_gp.hpp:228)
+    max_geometric_deletes: int = 2  # per added point (reference loops unboundedly;
+                                    # >1 per point is pathological in practice)
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        assert self.slots >= self.capacity + 1, "slots must fit capacity+1 BVs"
+
+
+def rgb_gp_config(slots: int = 128, capacity: int = 100) -> GPConfig:
+    """Field-GP (RGB) defaults, reference src/sparse_gp_field.h:43."""
+    return GPConfig(capacity=capacity, slots=slots, dout=3, s20=1e2, eps_tol=1e-4)
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchConfig:
+    """Voxel-patching front end (octree replacement).
+
+    `res`/`sz` defaults follow test_gp_compress (src/test_gp_compress.cpp:21).
+    `max_patches` and `max_points_per_patch` are static padding bounds —
+    a TPU-native concept with no reference counterpart (the octree grows
+    dynamically there).
+    """
+
+    res: float = 0.15            # voxel edge length [m]
+    sz: int = 20                 # patch grid resolution (sz x sz predictions)
+    max_patches: int = 1024      # static bound on number of leaves
+    max_points_per_patch: int = 512  # static bound on claimed points per leaf
+    min_points_for_rotation: int = 4  # below: identity rotation (gp_compressor.cpp:31)
+
+
+@dataclasses.dataclass(frozen=True)
+class KSVDConfig:
+    """Dictionary codec. Defaults = test_compress demo (src/test_compress.cpp:18)."""
+
+    dict_size: int = 200
+    words_max: int = 10
+    proj_error: float = 1e-4     # residual^2 stop for OMP
+    stop_diff: float = 1e-3      # K-SVD outer-loop stopping criterion
+    max_iters: int = 30          # static bound on K-SVD outer iterations
+    power_iters: int = 20        # NIPALS iterations (ksvd_decomposition.cpp:70)
+    power_threshold: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """GP-gradient registration. Defaults: src/gp_registration.cpp:10,67-71."""
+
+    step: float = 1e-1
+    max_steps: int = 300
+    min_steps: int = 10
+    grad_tol: float = 0.1        # convergence: |dt|<tol and |dr|<tol
+    color_blend: float = 1.0     # alpha: 1 => depth-only gradient (gp_registration.cpp:198)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    min_points_new_patch: int = 100   # min_nbr (src/gp_mapping.cpp:7)
+    max_ray_steps: int = 64           # static bound on voxel ray traversal
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    """NUTS/HMC over kernel hyperparameters — new capability."""
+
+    num_chains: int = 8
+    num_warmup: int = 200
+    num_samples: int = 200
+    max_tree_depth: int = 8
+    target_accept: float = 0.8
+    init_step_size: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class SMCConfig:
+    """SMC over scan poses for mapping — new capability."""
+
+    num_particles: int = 64
+    ess_threshold: float = 0.5
+    pose_proposal_std_t: float = 0.01
+    pose_proposal_std_r: float = 0.005
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Patch axis shards over `data`; chains/particles
+    over `chain`."""
+
+    data_axis: str = "data"
+    chain_axis: str = "chain"
+    data_size: Optional[int] = None   # None => all devices on data axis
+    chain_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CompressorConfig:
+    patch: PatchConfig = dataclasses.field(default_factory=PatchConfig)
+    depth_gp: GPConfig = dataclasses.field(default_factory=GPConfig)
+    rgb_gp: GPConfig = dataclasses.field(default_factory=rgb_gp_config)
+    ksvd: KSVDConfig = dataclasses.field(default_factory=KSVDConfig)
+    rgb_ksvd: KSVDConfig = dataclasses.field(
+        default_factory=lambda: KSVDConfig(dict_size=600, words_max=20))

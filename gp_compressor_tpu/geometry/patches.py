@@ -1,0 +1,191 @@
+"""Patch construction: project a cloud into per-voxel 2.5-D GP patches.
+
+Reference pipeline (gp_compressor::project_cloud + project_points,
+src/gp_compressor.cpp:177-249,66-118): per leaf, radius-search a sphere
+around the voxel center, fit a plane (SVD) over the sphere points, rotate
+into the local frame, clip to the voxel footprint, first-claim-dedup points
+across leaves via `occupied_indices`, demean depth and color, and record
+the sz x sz occupancy mask W.
+
+TPU-native reformulation: the serial leaf loop with its mutable
+`occupied_indices` array becomes three batched passes with no sequential
+state:
+
+  1. moments  — segment-sum per-leaf 4x4 homogeneous second moments over
+     all (point, candidate-leaf) pairs -> batched eigh -> rotations.
+  2. claiming — a point is claimed by the *lowest-ordered* candidate leaf
+     whose sphere contains it and whose local clip test passes. Because the
+     reference iterates leaves in a fixed order and each point is taken by
+     the first passing leaf, first-claim == argmin over candidates, which
+     is embarrassingly parallel.
+  3. scatter  — rank points within their claimed leaf and scatter into
+     capacity-padded [max_patches, max_points] training banks; demeaning
+     and the W mask are segment reductions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gp_compressor_tpu.config import PatchConfig
+from gp_compressor_tpu.geometry import rotation, voxel
+from gp_compressor_tpu.geometry.voxel import VoxelGrid
+
+
+class PatchBatch(NamedTuple):
+    """Everything the workloads need, statically shaped.
+
+    B = max_patches, P = max_points_per_patch, G = sz*sz.
+    """
+
+    grid: VoxelGrid
+    rotations: jnp.ndarray    # [B, 3, 3] local frames (col 0 = normal)
+    means: jnp.ndarray        # [B, 3]   patch centers (depth-mean adjusted)
+    rgb_means: jnp.ndarray    # [B, 3]   per-patch color means
+    W: jnp.ndarray            # [B, G] bool occupancy mask
+    X: jnp.ndarray            # [B, P, 2] local (u, v)
+    y: jnp.ndarray            # [B, P, 1] demeaned depth
+    rgb: jnp.ndarray          # [B, P, 3] demeaned colors
+    mask: jnp.ndarray         # [B, P] bool point validity
+    counts: jnp.ndarray       # [B] claimed points per patch (pre-truncation)
+    claims: jnp.ndarray       # [N] gp_index claiming each point (-1 = none)
+    n_leaves: jnp.ndarray     # scalar int32
+
+    @property
+    def n_dropped(self):
+        """Points lost to the static max_points_per_patch bound."""
+        cap = self.mask.shape[1]
+        return jnp.sum(jnp.maximum(self.counts - cap, 0))
+
+
+def grid_cell(uv: jnp.ndarray, res, sz: int) -> jnp.ndarray:
+    """Local (u, v) -> flattened sz x sz cell index
+    (src/gp_compressor.cpp:90-92: ind = sz*x + y with x from u, y from v).
+    The reference's int() cast can hit x == sz exactly at the +res/2 border
+    (out-of-bounds UB in Eigen); we clamp instead."""
+    cx = jnp.clip((sz * (uv[..., 0] / res + 0.5)).astype(jnp.int32), 0, sz - 1)
+    cy = jnp.clip((sz * (uv[..., 1] / res + 0.5)).astype(jnp.int32), 0, sz - 1)
+    return sz * cx + cy
+
+
+def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
+                  valid: jnp.ndarray, cfg: PatchConfig) -> PatchBatch:
+    """points: [N, 3], colors: [N, 3] (0..255 floats), valid: [N] bool."""
+    B, P, sz = cfg.max_patches, cfg.max_points_per_patch, cfg.sz
+    dt = points.dtype
+    N = points.shape[0]
+    res = jnp.asarray(cfg.res, dt)
+
+    grid = voxel.build_grid(points, valid, cfg.res, B)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+
+    # ---- pass 1: plane fits over *all* sphere points (claimed or not),
+    # matching the reference which computes rotations before claiming
+    # (src/gp_compressor.cpp:226-237). One segment-sum per neighbour offset
+    # keeps memory O(N).
+    h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)        # [N,4]
+    hh = h[:, :, None] * h[:, None, :]                                  # [N,4,4]
+    M = jnp.zeros((B, 4, 4), dt)
+    sphere_counts = jnp.zeros((B,), jnp.int32)
+    for off in offsets:
+        idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
+        seg = jnp.where(ok, idx, B)
+        M = M + jax.ops.segment_sum(hh, seg, num_segments=B + 1)[:B]
+        sphere_counts = sphere_counts + jax.ops.segment_sum(
+            ok.astype(jnp.int32), seg, num_segments=B + 1)[:B]
+    R = rotation.rotation_from_moment_batch(M, sphere_counts,
+                                            cfg.min_points_for_rotation)
+
+    # ---- pass 2: claiming. Local coords of each point in each candidate
+    # frame; clip to the voxel footprint (src/gp_compressor.cpp:84-86).
+    # First-claim == argmin over passing candidates; running-min over the
+    # 27 offsets keeps memory O(N).
+    half = res / 2.0
+    claim = jnp.full((N,), B, jnp.int32)
+    loc_claim = jnp.zeros((N, 3), dt)
+    for off in offsets:
+        idx, ok, centers = voxel.candidate_at_offset(grid, points, valid, off)
+        Rk = R[idx]                                                     # [N,3,3]
+        rel = points - centers
+        loc = jnp.einsum('nji,nj->ni', Rk, rel)                         # R^T rel
+        clip_ok = ((loc[:, 1] <= half) & (loc[:, 1] >= -half)
+                   & (loc[:, 2] <= half) & (loc[:, 2] >= -half))
+        better = ok & clip_ok & (idx < claim)
+        claim = jnp.where(better, idx, claim)
+        loc_claim = jnp.where(better[:, None], loc, loc_claim)
+    claimed = claim < B
+    centers_all = voxel.voxel_centers(grid)                             # [B,3]
+
+    # ---- per-leaf means over claimed points (src/gp_compressor.cpp:101-116)
+    seg_c = jnp.where(claimed, claim, B)
+    ones = claimed.astype(dt)
+    counts = jax.ops.segment_sum(ones, seg_c, num_segments=B + 1)[:B]
+    safe = jnp.maximum(counts, 1.0)
+    mn = jax.ops.segment_sum(loc_claim[:, 0] * ones, seg_c,
+                             num_segments=B + 1)[:B] / safe             # [B]
+    c_mn = jax.ops.segment_sum(colors * ones[:, None], seg_c,
+                               num_segments=B + 1)[:B] / safe[:, None]  # [B,3]
+
+    means = centers_all + mn[:, None] * R[:, :, 0]   # center += mn * normal
+    depth = loc_claim[:, 0] - mn[jnp.where(claimed, claim, 0)]
+    rgb_d = colors - c_mn[jnp.where(claimed, claim, 0)]
+
+    # ---- W occupancy mask (src/gp_compressor.cpp:90-99,117)
+    cell = grid_cell(loc_claim[:, 1:], res, sz)
+    wseg = jnp.where(claimed, claim * sz * sz + cell, B * sz * sz)
+    Wcnt = jax.ops.segment_sum(ones, wseg, num_segments=B * sz * sz + 1)
+    W = (Wcnt[:B * sz * sz] > 0).reshape(B, sz * sz)
+
+    # ---- pass 3: scatter claimed points into [B, P] banks
+    order = jnp.argsort(jnp.where(claimed, claim, B), stable=True)
+    sc = jnp.where(claimed, claim, B)[order]
+    first = jnp.searchsorted(sc, sc, side='left')
+    rank_sorted = jnp.arange(N) - first
+    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+
+    tgt_ok = claimed & (rank < P)
+    flat = jnp.where(tgt_ok, claim * P + rank, B * P)
+    Xb = jnp.zeros((B * P, 2), dt).at[flat].set(
+        jnp.where(tgt_ok[:, None], loc_claim[:, 1:], 0.0), mode='drop')
+    yb = jnp.zeros((B * P, 1), dt).at[flat].set(
+        jnp.where(tgt_ok[:, None], depth[:, None], 0.0), mode='drop')
+    cb = jnp.zeros((B * P, 3), dt).at[flat].set(
+        jnp.where(tgt_ok[:, None], rgb_d, 0.0), mode='drop')
+    mb = jnp.zeros((B * P,), bool).at[flat].set(tgt_ok, mode='drop')
+
+    return PatchBatch(
+        grid=grid, rotations=R, means=means, rgb_means=c_mn, W=W,
+        X=Xb.reshape(B, P, 2), y=yb.reshape(B, P, 1), rgb=cb.reshape(B, P, 3),
+        mask=mb.reshape(B, P), counts=counts.astype(jnp.int32),
+        claims=jnp.where(claimed, claim, -1).astype(jnp.int32),
+        n_leaves=grid.n_leaves)
+
+
+def prediction_grid(cfg: PatchConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """The sz*sz local query grid of load_compressed
+    (src/gp_compressor.cpp:317-331): u = res*((x+0.5)/sz - 0.5), iterating
+    y-major then x so point m corresponds to (x, y) = (m % sz, m // sz)...
+    Actually the reference loops y outer, x inner and stores sequentially,
+    so row m has x = m % sz, y = m // sz."""
+    sz = cfg.sz
+    m = jnp.arange(sz * sz)
+    x = (m % sz).astype(dtype)
+    y = (m // sz).astype(dtype)
+    u = cfg.res * ((x + 0.5) / sz - 0.5)
+    v = cfg.res * ((y + 0.5) / sz - 0.5)
+    return jnp.stack([u, v], axis=-1)
+
+
+def reproject(batch: PatchBatch, depth: jnp.ndarray, grid_uv: jnp.ndarray):
+    """Rotate per-patch grid predictions back to world coordinates
+    (src/gp_compressor.cpp:335-343): p = R [f, u, v]^T + mean.
+
+    depth: [B, G]; grid_uv: [G, 2] -> [B, G, 3] world points."""
+    B, G = depth.shape
+    local = jnp.concatenate(
+        [depth[..., None], jnp.broadcast_to(grid_uv, (B, G, 2))], axis=-1)
+    return jnp.einsum('bij,bgj->bgi', batch.rotations, local) + batch.means[:, None, :]

@@ -1,0 +1,148 @@
+"""GP compression / decompression workload.
+
+Reference: gp_compressor (src/gp_compressor.cpp) — project the cloud into
+per-voxel patches, train a depth sparse GP and an RGB field GP per patch
+(`train_processes`, :121-175), then regenerate the cloud by predicting both
+GPs on a regular sz x sz grid per patch and rotating back to world
+(`load_compressed`, :267-386).
+
+TPU-native: patch projection is the batched front-end
+(geometry.patches.build_patches); training is one jitted
+`sparse_gp.add_points_batch` whose scan steps are [B, slots, slots] batched
+algebra; decompression is two batched Gram+matmul predictions over all
+patches at once. The patch axis is shardable over a mesh (parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gp_compressor_tpu.config import CompressorConfig
+from gp_compressor_tpu.geometry import patches as patches_mod
+from gp_compressor_tpu.models import sparse_gp
+from gp_compressor_tpu.models.sparse_gp import SOGPState
+from gp_compressor_tpu.ops.kernels import RBFParams
+from gp_compressor_tpu.ops.noise import GaussianNoise
+
+
+class CompressedCloud(NamedTuple):
+    """The in-memory compressed artifact: patch geometry + GP states.
+
+    The reference never serialises GP state (save_compressed ignores its
+    filename, src/gp_compressor.cpp:21-27); we do — see io.checkpoint.
+    """
+
+    patch: patches_mod.PatchBatch
+    depth_gp: SOGPState    # batched [B, ...]
+    rgb_gp: SOGPState      # batched [B, ...]
+
+
+def default_params(cfg: CompressorConfig) -> Tuple[RBFParams, RBFParams]:
+    depth_kp = RBFParams(sigmaf_sq=jnp.asarray(cfg.depth_gp.sigmaf_sq),
+                         l_sq=jnp.asarray(cfg.depth_gp.l_sq))
+    rgb_kp = RBFParams(sigmaf_sq=jnp.asarray(cfg.rgb_gp.sigmaf_sq),
+                       l_sq=jnp.asarray(cfg.rgb_gp.l_sq))
+    return depth_kp, rgb_kp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def project(points: jnp.ndarray, colors: jnp.ndarray, valid: jnp.ndarray,
+            cfg: CompressorConfig) -> patches_mod.PatchBatch:
+    """project_cloud equivalent (src/gp_compressor.cpp:177-249)."""
+    return patches_mod.build_patches(points, colors, valid, cfg.patch)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
+          key: jax.Array,
+          depth_kp: Optional[RBFParams] = None,
+          rgb_kp: Optional[RBFParams] = None) -> CompressedCloud:
+    """train_processes equivalent (src/gp_compressor.cpp:121-175): feed each
+    patch's claimed points into its depth GP and RGB field GP, with the
+    reference's shuffle-before-insert (src/sparse_gp.hpp:43-56)."""
+    dkp, ckp = default_params(cfg)
+    depth_kp = depth_kp if depth_kp is not None else dkp
+    rgb_kp = rgb_kp if rgb_kp is not None else ckp
+    B = batch.mask.shape[0]
+    kd, kc = jax.random.split(key)
+    dnoise = GaussianNoise(s20=jnp.asarray(cfg.depth_gp.s20))
+    cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20))
+
+    dstates = sparse_gp.init_batch(cfg.depth_gp, B)
+    cstates = sparse_gp.init_batch(cfg.rgb_gp, B)
+    dstates = sparse_gp.add_points_batch(
+        depth_kp, dnoise, cfg.depth_gp, dstates, batch.X, batch.y, batch.mask,
+        jax.random.split(kd, B))
+    cstates = sparse_gp.add_points_batch(
+        rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb, batch.mask,
+        jax.random.split(kc, B))
+    return CompressedCloud(patch=batch, depth_gp=dstates, rgb_gp=cstates)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decompress(comp: CompressedCloud, cfg: CompressorConfig,
+               depth_kp: Optional[RBFParams] = None,
+               rgb_kp: Optional[RBFParams] = None):
+    """load_compressed equivalent (src/gp_compressor.cpp:267-386).
+
+    Returns (points [B*G, 3], colors [B*G, 3] in 0..255, valid [B*G]),
+    plus per-patch centers and normals like the reference's ncenters /
+    normals clouds (:374-379).
+    """
+    dkp, ckp = default_params(cfg)
+    depth_kp = depth_kp if depth_kp is not None else dkp
+    rgb_kp = rgb_kp if rgb_kp is not None else ckp
+    batch = comp.patch
+    B = batch.mask.shape[0]
+    grid_uv = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)   # [G,2]
+    G = grid_uv.shape[0]
+
+    dmean, _ = sparse_gp.predict_batch(
+        depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+        jnp.broadcast_to(grid_uv, (B, G, 2)))                          # [B,G,1]
+    cmean, _ = sparse_gp.predict_batch(
+        rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
+        jnp.broadcast_to(grid_uv, (B, G, 2)))                          # [B,G,3]
+
+    world = patches_mod.reproject(batch, dmean[..., 0], grid_uv)       # [B,G,3]
+    colors = cmean + batch.rgb_means[:, None, :]
+    # flatten_colors semantics (src/gp_compressor.cpp:251-265): NaN/inf->255,
+    # clamp to [0, 255]
+    colors = jnp.where(jnp.isfinite(colors), colors, 255.0)
+    colors = jnp.clip(colors, 0.0, 255.0)
+
+    # patches with an empty GP emit nothing (src/gp_compressor.cpp:299-301)
+    patch_ok = (sparse_gp.size(comp.depth_gp) > 0) & \
+               (jnp.arange(B) < batch.n_leaves)
+    valid = jnp.broadcast_to(patch_ok[:, None], (B, G))
+    centers = batch.means
+    normals = batch.rotations[:, :, 0]
+    return (world.reshape(B * G, 3), colors.reshape(B * G, 3),
+            valid.reshape(B * G), centers, normals, patch_ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reconstruction_rmse(comp: CompressedCloud, cfg: CompressorConfig,
+                        depth_kp: Optional[RBFParams] = None):
+    """In-sample depth RMS over the actual projected points — the
+    instrumentation the reference left commented out
+    (src/gp_compressor.cpp:303-315) and prints at :381."""
+    dkp, _ = default_params(cfg)
+    depth_kp = depth_kp if depth_kp is not None else dkp
+    batch = comp.patch
+    mean, _ = sparse_gp.predict_batch(depth_kp, cfg.depth_gp.s20,
+                                      comp.depth_gp, batch.X)          # [B,P,1]
+    err2 = jnp.sum(jnp.where(batch.mask, (mean[..., 0] - batch.y[..., 0]) ** 2,
+                             0.0))
+    n = jnp.maximum(jnp.sum(batch.mask), 1)
+    return jnp.sqrt(err2 / n)
+
+
+def compress(points, colors, valid, cfg: CompressorConfig, key) -> CompressedCloud:
+    """Full save_compressed pipeline (src/gp_compressor.cpp:21-27)."""
+    batch = project(points, colors, valid, cfg)
+    return train(batch, cfg, key)
