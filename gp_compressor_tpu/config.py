@@ -45,9 +45,11 @@ class GPConfig:
         assert self.slots >= self.capacity + 1, "slots must fit capacity+1 BVs"
 
 
-def rgb_gp_config(slots: int = 128, capacity: int = 100) -> GPConfig:
+def rgb_gp_config(slots: int = 128, capacity: int = 100,
+                  dtype: jnp.dtype = jnp.float32) -> GPConfig:
     """Field-GP (RGB) defaults, reference src/sparse_gp_field.h:43."""
-    return GPConfig(capacity=capacity, slots=slots, dout=3, s20=1e2, eps_tol=1e-4)
+    return GPConfig(capacity=capacity, slots=slots, dout=3, s20=1e2,
+                    eps_tol=1e-4, dtype=dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +80,11 @@ class KSVDConfig:
     max_iters: int = 30          # static bound on K-SVD outer iterations
     power_iters: int = 20        # NIPALS iterations (ksvd_decomposition.cpp:70)
     power_threshold: float = 0.01
+    exact_gram_diag: bool = False
+    # False reproduces the reference's "assuming ||x_k+1|| = 1" unit-diagonal
+    # masked Gram (src/orthogonal_matching_pursuit.cpp:86), which biases
+    # coefficients when many cells are masked; True uses the true masked
+    # atom norms (the exact masked least-squares solve).
 
 
 @dataclasses.dataclass(frozen=True)

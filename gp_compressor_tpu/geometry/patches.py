@@ -71,10 +71,16 @@ def grid_cell(uv: jnp.ndarray, res, sz: int) -> jnp.ndarray:
     return sz * cx + cy
 
 
-def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
-                  valid: jnp.ndarray, cfg: PatchConfig) -> PatchBatch:
-    """points: [N, 3], colors: [N, 3] (0..255 floats), valid: [N] bool."""
-    B, P, sz = cfg.max_patches, cfg.max_points_per_patch, cfg.sz
+def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
+    """Shared passes 1+2 (plane fits + first-claim) used by both the GP
+    front-end (build_patches) and the K-SVD rasterizer
+    (build_raster_patches — reference pointcloud_compressor::project_cloud,
+    src/pointcloud_compressor.cpp:119-165, same octree/radius/claim logic).
+
+    Returns (grid, R [B,3,3], centers_all [B,3], claim [N], loc_claim [N,3],
+    claimed [N]).
+    """
+    B = cfg.max_patches
     dt = points.dtype
     N = points.shape[0]
     res = jnp.asarray(cfg.res, dt)
@@ -119,6 +125,18 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
         loc_claim = jnp.where(better[:, None], loc, loc_claim)
     claimed = claim < B
     centers_all = voxel.voxel_centers(grid)                             # [B,3]
+    return grid, R, centers_all, claim, loc_claim, claimed
+
+
+def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
+                  valid: jnp.ndarray, cfg: PatchConfig) -> PatchBatch:
+    """points: [N, 3], colors: [N, 3] (0..255 floats), valid: [N] bool."""
+    B, P, sz = cfg.max_patches, cfg.max_points_per_patch, cfg.sz
+    dt = points.dtype
+    N = points.shape[0]
+    res = jnp.asarray(cfg.res, dt)
+    grid, R, centers_all, claim, loc_claim, claimed = claim_points(
+        points, valid, cfg)
 
     # ---- per-leaf means over claimed points (src/gp_compressor.cpp:101-116)
     seg_c = jnp.where(claimed, claim, B)
@@ -178,6 +196,105 @@ def prediction_grid(cfg: PatchConfig, dtype=jnp.float32) -> jnp.ndarray:
     u = cfg.res * ((x + 0.5) / sz - 0.5)
     v = cfg.res * ((y + 0.5) / sz - 0.5)
     return jnp.stack([u, v], axis=-1)
+
+
+class RasterBatch(NamedTuple):
+    """Rasterized patch images for the K-SVD codec.
+
+    Reference: pointcloud_compressor::project_points rasterises claimed
+    points to grid cells with a per-cell running mean and demeans each patch
+    by its mean over ALL sz*sz cells — including the zero-valued empty
+    cells, a reference quirk we reproduce exactly
+    (src/pointcloud_compressor.cpp:92-116).
+    """
+
+    grid: voxel.VoxelGrid
+    rotations: jnp.ndarray    # [B, 3, 3]
+    means: jnp.ndarray        # [B, 3] centers (cell-mean adjusted)
+    rgb_means: jnp.ndarray    # [B, 3] per-channel column means
+    S: jnp.ndarray            # [B, G] demeaned cell depth image
+    RGB: jnp.ndarray          # [B, G, 3] demeaned cell color image
+    W: jnp.ndarray            # [B, G] bool occupancy
+    n_leaves: jnp.ndarray
+    # per-point info for in-sample RMS (compute_rms_error,
+    # src/pointcloud_compressor.cpp:182-205)
+    claims: jnp.ndarray       # [N] gp_index or -1
+    cells: jnp.ndarray        # [N] flattened cell index of each claimed point
+    depth_demeaned: jnp.ndarray  # [N] local depth minus the patch cell-mean
+
+
+def build_raster_patches(points: jnp.ndarray, colors: jnp.ndarray,
+                         valid: jnp.ndarray, cfg: PatchConfig) -> RasterBatch:
+    B, sz = cfg.max_patches, cfg.sz
+    G = sz * sz
+    dt = points.dtype
+    res = jnp.asarray(cfg.res, dt)
+    grid_, R, centers_all, claim, loc_claim, claimed = claim_points(
+        points, valid, cfg)
+
+    ones = claimed.astype(dt)
+    cell = grid_cell(loc_claim[:, 1:], res, sz)
+    flat = jnp.where(claimed, claim * G + cell, B * G)
+
+    cnt = jax.ops.segment_sum(ones, flat, num_segments=B * G + 1)[:B * G]
+    dsum = jax.ops.segment_sum(loc_claim[:, 0] * ones, flat,
+                               num_segments=B * G + 1)[:B * G]
+    csum = jax.ops.segment_sum(colors * ones[:, None], flat,
+                               num_segments=B * G + 1)[:B * G]
+    safe = jnp.maximum(cnt, 1.0)
+    S = (dsum / safe).reshape(B, G)
+    RGB = (csum / safe[:, None]).reshape(B, G, 3)
+    W = (cnt > 0).reshape(B, G)
+
+    # demean by the mean over ALL cells (src/pointcloud_compressor.cpp:101-115)
+    mn = jnp.mean(S, axis=1)                                # [B]
+    S = S - mn[:, None]
+    cmn = jnp.mean(RGB, axis=1)                             # [B, 3]
+    RGB = RGB - cmn[:, None, :]
+    means = centers_all + mn[:, None] * R[:, :, 0]
+
+    depth_dm = loc_claim[:, 0] - mn[jnp.where(claimed, claim, 0)]
+    return RasterBatch(
+        grid=grid_, rotations=R, means=means, rgb_means=cmn, S=S, RGB=RGB,
+        W=W, n_leaves=grid_.n_leaves,
+        claims=jnp.where(claimed, claim, -1).astype(jnp.int32),
+        cells=cell.astype(jnp.int32), depth_demeaned=depth_dm)
+
+
+def raster_reproject(batch: RasterBatch, S_rec: jnp.ndarray,
+                     RGB_rec: jnp.ndarray, sz: int, res: float):
+    """pointcloud_decompressor::reproject_cloud
+    (src/pointcloud_decompressor.cpp:43-118): emit one world point per
+    OCCUPIED cell at the cell center with the reconstructed depth/colors.
+
+    S_rec: [B, G]; RGB_rec: [B, G, 3] demeaned; returns
+    (points [B*G, 3], colors [B*G, 3], valid [B*G]).
+    """
+    B, G = S_rec.shape
+    dt = S_rec.dtype
+    m = jnp.arange(G)
+    x = (m // sz).astype(dt)     # cell = sz*x + y
+    y = (m % sz).astype(dt)
+    # the rasterizer shifted coords by +res/2: cell centers in the
+    # [-res/2, res/2] frame are res*((x+0.5)/sz) - res/2
+    u = res * (x + 0.5) / sz - res / 2.0
+    v = res * (y + 0.5) / sz - res / 2.0
+    uv = jnp.stack([u, v], axis=-1)                        # [G, 2]
+    world = reproject_raster(batch, S_rec, uv)
+    colors = RGB_rec + batch.rgb_means[:, None, :]
+    colors = jnp.where(jnp.isfinite(colors), colors, 255.0)
+    colors = jnp.clip(colors, 0.0, 255.0)
+    okp = batch.W & (jnp.arange(B)[:, None] < batch.n_leaves)
+    return (world.reshape(B * G, 3), colors.reshape(B * G, 3),
+            okp.reshape(B * G))
+
+
+def reproject_raster(batch: RasterBatch, depth: jnp.ndarray,
+                     grid_uv: jnp.ndarray):
+    B, G = depth.shape
+    local = jnp.concatenate(
+        [depth[..., None], jnp.broadcast_to(grid_uv, (B, G, 2))], axis=-1)
+    return jnp.einsum('bij,bgj->bgi', batch.rotations, local) + batch.means[:, None, :]
 
 
 def reproject(batch: PatchBatch, depth: jnp.ndarray, grid_uv: jnp.ndarray):

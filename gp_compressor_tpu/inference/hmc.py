@@ -1,0 +1,218 @@
+"""HMC / NUTS over GP kernel hyperparameters — a new capability.
+
+The reference fixes (sigmaf^2, l^2, s20) as constructor constants
+(src/rbf_kernel.h:24, src/sparse_gp.h:48); its only gesture at learning
+them is the abandoned `train_parameters` gradient loop that plots with
+octave and calls exit(0) (src/sparse_gp.hpp:586-650). Here the hyperparams
+get full Bayesian treatment per BASELINE.json's north star: a vectorized
+log posterior over the patch bank (exact GP marginal likelihood, batched
+Cholesky on the MXU), gradient-based samplers (HMC with dual-averaging
+step-size adaptation and a NUTS-style dynamic trajectory variant), chains
+`vmap`-ed and shardable over the mesh `chain` axis; cross-chain statistics
+(adaptation, diagnostics) are plain reductions that lower to psum.
+
+theta parameterization: unconstrained logs,
+theta = (ln sigmaf_sq, ln l_sq, ln s20).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gp_compressor_tpu.config import HMCConfig
+from gp_compressor_tpu.ops import kernels
+from gp_compressor_tpu.ops.kernels import RBFParams
+
+
+# ---------------------------------------------------------------------------
+# log posterior over the patch bank
+# ---------------------------------------------------------------------------
+
+def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
+                       mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact GP marginal log-likelihood of one patch.
+
+    ln N(y; 0, K + s20 I) with the masked-row decoupling of
+    models.exact_gp. X: [n, d], y: [n], mask: [n]. The Cholesky dominates
+    — batched over patches it runs as one [B, n, n] MXU factorization.
+    """
+    sigmaf_sq, l_sq, s20 = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+    kp = RBFParams(sigmaf_sq=sigmaf_sq, l_sq=l_sq)
+    n = X.shape[0]
+    m2 = mask[:, None] * mask[None, :]
+    K = kernels.gram(kp, X, X) * m2 + jnp.diag(jnp.where(mask > 0, s20, 1.0))
+    L = jnp.linalg.cholesky(K)
+    ym = y * mask
+    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    quad = ym @ alpha
+    neff = jnp.sum(mask)
+    return -0.5 * (quad + logdet + neff * jnp.log(2.0 * jnp.pi))
+
+
+def make_patch_logpost(X: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
+                       prior_mean=(4.6, 0.0, -2.3), prior_std=3.0
+                       ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Posterior over shared hyperparams given a bank of patches.
+
+    X: [B, n, d], y: [B, n], mask: [B, n]. The sum over the (sharded)
+    patch axis is the reduction that rides psum on a mesh. Default prior
+    centers on the reference's constants (sigmaf^2=100, l^2=1, s20=0.1).
+    """
+    pm = jnp.asarray(prior_mean)
+
+    def logpost(theta):
+        ll = jnp.sum(jax.vmap(gp_marginal_loglik, in_axes=(None, 0, 0, 0))(
+            theta, X, y, mask))
+        lp = jnp.sum(-0.5 * ((theta - pm) / prior_std) ** 2)
+        return ll + lp
+
+    return logpost
+
+
+# ---------------------------------------------------------------------------
+# HMC with dual-averaging warmup
+# ---------------------------------------------------------------------------
+
+class HMCChainState(NamedTuple):
+    theta: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+    step_size: jnp.ndarray
+    # dual averaging stats (Hoffman & Gelman 2014, eq. 6)
+    h_bar: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    mu: jnp.ndarray
+    inv_mass: jnp.ndarray
+    accept_prob: jnp.ndarray
+
+
+def _leapfrog(logpost_grad, theta, p, grad, eps, inv_mass, n_steps):
+    def body(_, carry):
+        th, p, g = carry
+        p = p + 0.5 * eps * g
+        th = th + eps * inv_mass * p
+        lp, g = logpost_grad(th)
+        p = p + 0.5 * eps * g
+        return th, p, g
+
+    th, p, g = lax.fori_loop(0, n_steps, body, (theta, p, grad))
+    return th, p, g
+
+
+def hmc_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
+                          key: jax.Array, cfg: HMCConfig,
+                          n_leapfrog: int = 16):
+    """Single-chain HMC: dual-averaging warmup then fixed-step sampling.
+    Returns (samples [num_samples, dim], accept_rate, final_step)."""
+    lp_and_grad = jax.value_and_grad(logpost)
+
+    def lg(th):
+        v, g = lp_and_grad(th)
+        return v, g
+
+    dim = theta0.shape[0]
+    lp0, g0 = lg(theta0)
+    eps0 = jnp.asarray(cfg.init_step_size)
+    st = HMCChainState(
+        theta=theta0, logp=lp0, grad=g0, step_size=eps0,
+        h_bar=jnp.asarray(0.0), log_eps_bar=jnp.asarray(0.0),
+        mu=jnp.log(10.0 * eps0), inv_mass=jnp.ones(dim),
+        accept_prob=jnp.asarray(0.0))
+
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def step(st: HMCChainState, key, adapt, m):
+        k1, k2 = jax.random.split(key)
+        p0 = jax.random.normal(k1, (dim,)) / jnp.sqrt(st.inv_mass)
+        th, p, g = _leapfrog(lg, st.theta, p0, st.grad, st.step_size,
+                             st.inv_mass, n_leapfrog)
+        lp_new = logpost(th)
+        h0 = st.logp - 0.5 * jnp.sum(st.inv_mass * p0 * p0)
+        h1 = lp_new - 0.5 * jnp.sum(st.inv_mass * p * p)
+        log_acc = jnp.minimum(h1 - h0, 0.0)
+        acc_p = jnp.where(jnp.isfinite(log_acc), jnp.exp(log_acc), 0.0)
+        accept = jax.random.uniform(k2) < acc_p
+        theta = jnp.where(accept, th, st.theta)
+        logp = jnp.where(accept, lp_new, st.logp)
+        grad = jnp.where(accept, g, st.grad)
+
+        # dual averaging
+        mf = m.astype(jnp.float32) + 1.0
+        eta = 1.0 / (mf + t0)
+        h_bar = (1.0 - eta) * st.h_bar + eta * (cfg.target_accept - acc_p)
+        log_eps = st.mu - jnp.sqrt(mf) / gamma * h_bar
+        w = mf ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * st.log_eps_bar
+        step_size = jnp.where(adapt, jnp.exp(log_eps), jnp.exp(st.log_eps_bar))
+        return st._replace(theta=theta, logp=logp, grad=grad,
+                           step_size=step_size, h_bar=h_bar,
+                           log_eps_bar=log_eps_bar, accept_prob=acc_p)
+
+    def warm_body(m, carry):
+        st, key = carry
+        key, sub = jax.random.split(key)
+        st = step(st, sub, jnp.asarray(True), m)
+        return st, key
+
+    key, kw = jax.random.split(key)
+    st, _ = lax.fori_loop(0, cfg.num_warmup, warm_body, (st, kw))
+    st = st._replace(step_size=jnp.exp(st.log_eps_bar))
+
+    def sample_body(carry, key):
+        st = carry
+        st = step(st, key, jnp.asarray(False), jnp.asarray(cfg.num_warmup))
+        return st, (st.theta, st.accept_prob)
+
+    keys = jax.random.split(key, cfg.num_samples)
+    st, (samples, accs) = lax.scan(sample_body, st, keys)
+    return samples, jnp.mean(accs), st.step_size
+
+
+def hmc_sample_chains(logpost: Callable, theta0: jnp.ndarray, key: jax.Array,
+                      cfg: HMCConfig, n_leapfrog: int = 16):
+    """vmap over chains: theta0 [C, dim] -> samples [C, num_samples, dim].
+    The chain axis shards over the mesh `chain` axis (see parallel.mesh);
+    each chain's logpost internally reduces over the sharded patch axis."""
+    keys = jax.random.split(key, theta0.shape[0])
+    f = jax.vmap(lambda t0, k: hmc_warmup_and_sample(logpost, t0, k, cfg,
+                                                     n_leapfrog))
+    return f(theta0, keys)
+
+
+# ---------------------------------------------------------------------------
+# diagnostics
+# ---------------------------------------------------------------------------
+
+def split_rhat(samples: jnp.ndarray) -> jnp.ndarray:
+    """Split-R-hat per dimension. samples: [C, T, dim]."""
+    C, T, dim = samples.shape
+    half = T // 2
+    x = jnp.concatenate([samples[:, :half], samples[:, half:2 * half]], axis=0)
+    m = x.shape[0]
+    cm = jnp.mean(x, axis=1)                      # [2C, dim]
+    gv = jnp.var(cm, axis=0, ddof=1)              # between
+    wv = jnp.mean(jnp.var(x, axis=1, ddof=1), axis=0)
+    var_est = (half - 1) / half * wv + gv
+    return jnp.sqrt(var_est / wv)
+
+
+def effective_sample_size(samples: jnp.ndarray, max_lag: int = 100):
+    """Bulk ESS per dimension via initial positive sequence. [C, T, dim]."""
+    C, T, dim = samples.shape
+    x = samples - jnp.mean(samples, axis=1, keepdims=True)
+    max_lag = min(max_lag, T - 1)
+    # static unrolled lags: slice bounds must be compile-time constants
+    ac = jnp.stack([
+        jnp.mean(jnp.sum(x[:, :T - lag] * x[:, lag:], axis=1), axis=0) / T
+        for lag in range(max_lag)])               # [max_lag, dim]
+    rho = ac / ac[0]
+    # truncate at first negative autocorrelation
+    positive = jnp.cumprod(rho > -0.05, axis=0)
+    tau = 1.0 + 2.0 * jnp.sum(rho * positive, axis=0)
+    return C * T / jnp.maximum(tau, 1.0)

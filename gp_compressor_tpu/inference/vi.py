@@ -1,0 +1,58 @@
+"""ADVI (mean-field variational inference) over GP hyperparameters.
+
+Companion to inference.hmc: same log posterior, diagonal-Gaussian
+variational family in the unconstrained theta space, reparameterized ELBO
+gradients with optax. Chains of the sampler become Monte-Carlo ELBO
+samples here; the patch-bank reduction inside logpost shards identically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class VIResult(NamedTuple):
+    mean: jnp.ndarray        # [dim] variational mean
+    log_std: jnp.ndarray     # [dim]
+    elbo_trace: jnp.ndarray  # [steps]
+
+
+def fit_advi(logpost: Callable, theta0: jnp.ndarray, key: jax.Array,
+             steps: int = 500, lr: float = 5e-2,
+             n_mc: int = 8) -> VIResult:
+    dim = theta0.shape[0]
+    params = {"mean": theta0, "log_std": jnp.full((dim,), -2.0)}
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def neg_elbo(params, key):
+        eps = jax.random.normal(key, (n_mc, dim))
+        std = jnp.exp(params["log_std"])
+        thetas = params["mean"] + eps * std
+        lps = jax.vmap(logpost)(thetas)
+        entropy = jnp.sum(params["log_std"]) + 0.5 * dim * (
+            1.0 + jnp.log(2.0 * jnp.pi))
+        return -(jnp.mean(lps) + entropy)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, g = jax.value_and_grad(neg_elbo)(params, key)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, -loss
+
+    elbos = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, elbo = step(params, opt_state, sub)
+        elbos.append(elbo)
+    return VIResult(mean=params["mean"], log_std=params["log_std"],
+                    elbo_trace=jnp.stack(elbos))
+
+
+def sample_posterior(res: VIResult, key: jax.Array, n: int) -> jnp.ndarray:
+    eps = jax.random.normal(key, (n, res.mean.shape[0]))
+    return res.mean + eps * jnp.exp(res.log_std)

@@ -60,7 +60,8 @@ def predict(params: RBFParams, state: ExactGPState,
     V* = k** - v^T v, v = L^-1 K*.
     """
     Ks = kernels.gram(params, state.X, Xstar) * state.mask[:, None]   # [n, m]
-    mean = Ks.T @ state.alpha
+    mean = jnp.einsum('nm,nd->md', Ks, state.alpha,
+                      precision=jax.lax.Precision.HIGHEST)
     v = jax.scipy.linalg.solve_triangular(state.chol, Ks, lower=True)  # [n, m]
     var = kernels.kdiag(params, Xstar) - jnp.sum(v * v, axis=0)
     return mean, var

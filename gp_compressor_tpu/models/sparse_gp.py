@@ -49,6 +49,17 @@ from gp_compressor_tpu.ops import kernels
 from gp_compressor_tpu.ops.kernels import RBFParams
 from gp_compressor_tpu.ops.noise import GaussianNoise, NoiseModel
 
+# All state-update contractions run at HIGHEST precision: on TPU the
+# default matmul path multiplies in bfloat16, whose 8-bit mantissa is far
+# below the cancellation level of gamma = k** - k^T Q k and of the rank-1
+# C/Q updates. These are [slots]-sized matvecs (VPU work, not MXU), so
+# full float32 costs nothing.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mv(M, v):
+    return jnp.einsum('...ij,...j->...i', M, v, precision=_HI)
+
 
 class SOGPState(NamedTuple):
     """Capacity-padded sparse-GP state for one patch.
@@ -111,12 +122,14 @@ def _delete_bv(state: SOGPState, loc: jnp.ndarray) -> SOGPState:
     dt = state.C.dtype
     cap1 = state.slots
     oh = jax.nn.one_hot(loc, cap1, dtype=dt)
-    astar = oh @ state.alpha                      # [dout]
-    cstar = oh @ state.C @ oh
-    qstar = oh @ state.Q @ oh
+    astar = jnp.take(state.alpha, loc, axis=0)    # [dout]
+    Ccol = jnp.take(state.C, loc, axis=1)
+    Qcol = jnp.take(state.Q, loc, axis=1)
+    cstar = jnp.take(Ccol, loc, axis=0)
+    qstar = jnp.take(Qcol, loc, axis=0)
     keep = 1.0 - oh
-    Cs = (state.C @ oh) * keep                    # column loc, entry loc zeroed
-    Qs = (state.Q @ oh) * keep
+    Cs = Ccol * keep                              # column loc, entry loc zeroed
+    Qs = Qcol * keep
     qc = Qs + Cs
     denom = qstar + cstar
     alpha = state.alpha - jnp.outer(qc, astar) / denom
@@ -159,14 +172,22 @@ def add_point(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
 
     kstar = kernels.kdiag(kp, x[None])[0]
     k = kernels.gram(kp, x[None], state.bv)[0] * act        # [cap1]
-    m = state.alpha.T @ k                                    # [dout]
-    Ck = state.C @ k
-    s2 = kstar + k @ Ck
+    m = jnp.einsum('ij,i->j', state.alpha, k, precision=_HI)  # [dout]
+    Ck = _mv(state.C, k)
+    s2 = kstar + jnp.einsum('i,i->', k, Ck, precision=_HI)
+    e_hat = _mv(state.Q, k)
+    gamma = kstar - jnp.einsum('i,i->', k, e_hat, precision=_HI)
+    gamma = jnp.where(gamma < cfg.gamma_tiny, 0.0, gamma)    # src/sparse_gp.hpp:146
+    # Exact-arithmetic invariant, enforced for float32 robustness: the
+    # latent predictive variance always dominates the residual novelty,
+    # s2 >= gamma >= 0. Rounding in the C/Q quadratics can violate it,
+    # and then the sparse-update gain eta = 1/(1 + gamma*r)
+    # = (s20+s2)/(s20+s2-gamma) loses its bound and alpha explodes — the
+    # NaN the reference only comments about (src/sparse_gp.hpp:124-129).
+    # With the clamp, eta <= 1 + eps_tol/s20 unconditionally.
+    s2 = jnp.maximum(s2, gamma)
     r = noise.dx2_ln(y, m, s2)                               # scalar
     q = noise.dx_ln(y, m, s2)                                # [dout]
-    e_hat = state.Q @ k
-    gamma = kstar - k @ e_hat
-    gamma = jnp.where(gamma < cfg.gamma_tiny, 0.0, gamma)    # src/sparse_gp.hpp:146
 
     # --- sparse update (project onto existing BVs), src/sparse_gp.hpp:155-163
     eta = 1.0 / (1.0 + gamma * r)
@@ -264,8 +285,9 @@ def predict(kp: RBFParams, s20, state: SOGPState,
     """
     act = state.active.astype(state.C.dtype)
     K = kernels.gram(kp, Xstar, state.bv) * act[None, :]     # [m, cap1]
-    mean = K @ state.alpha                                   # [m, dout]
-    var = s20 + kernels.kdiag(kp, Xstar) + jnp.sum((K @ state.C) * K, axis=-1)
+    mean = jnp.einsum('mi,id->md', K, state.alpha, precision=_HI)
+    KC = jnp.einsum('mi,ij->mj', K, state.C, precision=_HI)
+    var = s20 + kernels.kdiag(kp, Xstar) + jnp.sum(KC * K, axis=-1)
     return mean, jnp.maximum(var, 0.0)
 
 
@@ -317,3 +339,35 @@ def likelihood_dx(kp: RBFParams, s20, state: SOGPState,
 def reset(state: SOGPState) -> SOGPState:
     """src/sparse_gp.hpp:573-582."""
     return jax.tree.map(jnp.zeros_like, state)
+
+
+def sanitize_batch(states: SOGPState, kp: Optional[RBFParams] = None,
+                   s20=None, max_pred: float = 1e3):
+    """Reset patches whose state went non-finite or predicts garbage;
+    returns (states, n_bad).
+
+    Float32 failure containment: the Csató recursion is only conditionally
+    stable, and a patch whose C/Q left the stable manifold (ill-conditioned
+    data + rounding) would otherwise poison every prediction. The reference
+    merely prints "C has become Nan" and keeps going
+    (src/sparse_gp.hpp:245-247); here the patch is reset to the empty GP
+    (predicts the prior) and counted, which is also the hook for
+    failure-detection metrics. When kernel params are given, health is
+    judged on the patch's own predictions at its BV sites — the quantity
+    that actually reaches users — rather than raw state magnitudes.
+    """
+    bad = jnp.zeros(states.C.shape[0], bool)
+    for leaf in (states.bv, states.alpha, states.C, states.Q):
+        axes = tuple(range(1, leaf.ndim))
+        bad = bad | ~jnp.all(jnp.isfinite(leaf), axis=axes)
+    if kp is not None:
+        mean, var = predict_batch(kp, s20, states, states.bv)
+        pred_ok = jnp.all(jnp.isfinite(mean) & (jnp.abs(mean) < max_pred),
+                          axis=(1, 2)) & jnp.all(jnp.isfinite(var), axis=1)
+        bad = bad | ~pred_ok
+
+    def fix(a):
+        return jnp.where(bad.reshape((-1,) + (1,) * (a.ndim - 1)),
+                         jnp.zeros_like(a), a)
+
+    return jax.tree.map(fix, states), jnp.sum(bad)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,12 +32,19 @@ class RBFParams(NamedTuple):
 def sqdist(X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
     """Pairwise squared distances. X: [n, d], Z: [m, d] -> [n, m].
 
-    Uses the |x|^2 + |z|^2 - 2 x.z expansion so the cross term is a single
-    MXU matmul; clamps tiny negatives from cancellation.
+    Patch inputs are d=2, so the difference form is both cheaper than the
+    |x|^2+|z|^2-2xz matmul expansion and numerically exact — critically, it
+    avoids the TPU's default-bf16 matmul path, whose 8-bit mantissas would
+    feed catastrophic cancellation into the novelty gamma
+    (see models.sparse_gp). For large d, switch to the expansion with
+    precision=HIGHEST.
     """
+    if X.shape[-1] <= 4:
+        diff = X[..., :, None, :] - Z[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
     xx = jnp.sum(X * X, axis=-1)[:, None]
     zz = jnp.sum(Z * Z, axis=-1)[None, :]
-    cross = X @ Z.T
+    cross = jnp.matmul(X, Z.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(xx + zz - 2.0 * cross, 0.0)
 
 

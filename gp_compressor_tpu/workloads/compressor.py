@@ -80,6 +80,8 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
     cstates = sparse_gp.add_points_batch(
         rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb, batch.mask,
         jax.random.split(kc, B))
+    dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, cfg.depth_gp.s20)
+    cstates, _ = sparse_gp.sanitize_batch(cstates, rgb_kp, cfg.rgb_gp.s20)
     return CompressedCloud(patch=batch, depth_gp=dstates, rgb_gp=cstates)
 
 

@@ -1,0 +1,533 @@
+"""Incremental GP mapping (SLAM front-end).
+
+Reference: gp_mapping (src/gp_mapping.cpp). Per scan: transform by the
+accumulated pose, register against the map to convergence (dropping the
+scan if the 300-step cap is hit, :22-27), then insert: existing trained
+patches absorb their in-footprint points (transform_to_old, :213-243), new
+voxels accumulate evidence until >= min_nbr points are available and then
+become patches with a fresh plane fit (transform_to_new, :245-291), a
+free-space ray-carving pass fills the probit-channel `free` mask
+(train_classification, :154-211), and all touched GPs train incrementally
+(train_processes, :293-343).
+
+TPU-native redesign:
+  * The growing octree becomes a persistent `MapState` over a fixed world
+    bounding box: a dense key->leaf table (one int32 per voxel), padded
+    patch banks, and padded pending-evidence buffers. All shapes static;
+    growth = flipping entries, not reallocating.
+  * Leaf iteration order (which decides contested claims and gp_index
+    assignment in the reference) is voxel-key order for claiming and
+    insertion order for gp_index — the two are decoupled via a sorted
+    key table + id indirection.
+  * The per-ray octree traversal (gp_octree::get_intersected_gps,
+    src/gp_octree.cpp:66-206) becomes a batched fixed-step DDA voxel walk.
+  * Documented divergences from reference quirks: pending evidence is
+    buffered per home-voxel only (the reference appends every sphere copy,
+    src/gp_mapping.cpp:98-111); within one insertion a free=false (hit)
+    mark beats free=true (the reference's last-ray-wins is an artifact of
+    serial order); transform_to_new's off-by-stale-index dedup
+    (src/gp_mapping.cpp:261-262) is replaced by the same first-claim rule
+    used everywhere else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_compressor_tpu.config import (CompressorConfig, MappingConfig,
+                                      RegistrationConfig)
+from gp_compressor_tpu.geometry import rotation, transforms, voxel
+from gp_compressor_tpu.geometry.voxel import VoxelGrid
+from gp_compressor_tpu.models import sparse_gp
+from gp_compressor_tpu.models.sparse_gp import SOGPState
+from gp_compressor_tpu.ops.noise import GaussianNoise
+from gp_compressor_tpu.workloads import registration
+from gp_compressor_tpu.workloads.compressor import default_params
+
+
+class MapState(NamedTuple):
+    """Persistent map over a fixed world box. B = max_patches, G = sz*sz."""
+
+    # world voxel grid (static box; the reference's octree grows, we flip
+    # entries in a preallocated table)
+    origin: jnp.ndarray        # [3]
+    dims: jnp.ndarray          # [3] int32
+    key_to_leaf: jnp.ndarray   # [n_cells] int32 gp_index or -1
+    leaf_keys: jnp.ndarray     # [B] sorted linear keys (fill = INT32_MAX)
+    leaf_ids: jnp.ndarray      # [B] gp_index per sorted slot
+    n_patches: jnp.ndarray     # int32
+
+    # patch banks (indexed by gp_index)
+    rotations: jnp.ndarray     # [B, 3, 3]
+    means: jnp.ndarray         # [B, 3]
+    rgb_means: jnp.ndarray     # [B, 3]
+    W: jnp.ndarray             # [B, G] bool
+    free: jnp.ndarray          # [B, G] bool — probit channel data
+    created: jnp.ndarray       # [B] bool patch exists (frame fitted)
+    depth_gp: SOGPState
+    rgb_gp: SOGPState
+
+    # pending evidence for not-yet-created patches (world coords)
+    pend_pts: jnp.ndarray      # [B, Pp, 3]
+    pend_cols: jnp.ndarray     # [B, Pp, 3]
+    pend_count: jnp.ndarray    # [B] int32
+
+    # accumulated pose (src/gp_compressor.h:32-33)
+    R_cloud: jnp.ndarray       # [3, 3]
+    t_cloud: jnp.ndarray       # [3]
+
+    def grid(self, res) -> VoxelGrid:
+        return VoxelGrid(keys=self.leaf_keys, n_leaves=self.n_patches,
+                         origin=self.origin, dims=self.dims,
+                         res=jnp.asarray(res, self.origin.dtype))
+
+
+def map_init(cfg: CompressorConfig, mcfg: MappingConfig,
+             world_min, world_max, dtype=jnp.float32,
+             pending_capacity: int = 256) -> MapState:
+    B = cfg.patch.max_patches
+    G = cfg.patch.sz ** 2
+    origin = jnp.asarray(world_min, dtype)
+    dims = jnp.floor((jnp.asarray(world_max, dtype) - origin)
+                     / cfg.patch.res).astype(jnp.int32) + 1
+    n_cells = int(np.prod(np.asarray(dims)))
+    fill = jnp.iinfo(jnp.int32).max
+    return MapState(
+        origin=origin, dims=dims,
+        key_to_leaf=jnp.full((n_cells,), -1, jnp.int32),
+        leaf_keys=jnp.full((B,), fill, jnp.int32),
+        leaf_ids=jnp.zeros((B,), jnp.int32),
+        n_patches=jnp.asarray(0, jnp.int32),
+        rotations=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+        means=jnp.zeros((B, 3), dtype), rgb_means=jnp.zeros((B, 3), dtype),
+        W=jnp.zeros((B, G), bool), free=jnp.zeros((B, G), bool),
+        created=jnp.zeros((B,), bool),
+        depth_gp=sparse_gp.init_batch(cfg.depth_gp, B),
+        rgb_gp=sparse_gp.init_batch(cfg.rgb_gp, B),
+        pend_pts=jnp.zeros((B, pending_capacity, 3), dtype),
+        pend_cols=jnp.zeros((B, pending_capacity, 3), dtype),
+        pend_count=jnp.zeros((B,), jnp.int32),
+        R_cloud=jnp.eye(3, dtype=dtype), t_cloud=jnp.zeros(3, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# insertion
+# ---------------------------------------------------------------------------
+
+def _linkey(state: MapState, res, points):
+    keys3 = voxel.point_keys(points, state.origin, res)
+    ok = jnp.all((keys3 >= 0) & (keys3 < state.dims), axis=-1)
+    lin = (keys3[..., 0] * state.dims[1] + keys3[..., 1]) * state.dims[2] \
+        + keys3[..., 2]
+    return jnp.where(ok, lin, -1), ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "min_nbr"))
+def map_insert(state: MapState, points, colors, valid,
+               cfg: CompressorConfig, mcfg: MappingConfig,
+               key: jax.Array, min_nbr: int) -> MapState:
+    """insert_into_map + train_processes (src/gp_mapping.cpp:37-152,293-343).
+
+    `points` must already be in world/map coordinates (the caller applies
+    the registered pose). min_nbr=1 reproduces the first-cloud constructor
+    path (gp_compressor::project_cloud trains every leaf, no threshold).
+    """
+    B = cfg.patch.max_patches
+    G = cfg.patch.sz ** 2
+    Pmax = cfg.patch.max_points_per_patch
+    Pp = state.pend_pts.shape[1]
+    sz = cfg.patch.sz
+    dt = points.dtype
+    res = jnp.asarray(cfg.patch.res, dt)
+    half = res / 2.0
+    N = points.shape[0]
+    fill = jnp.iinfo(jnp.int32).max
+
+    # ---- 1. discover voxels touched by this scan; allocate leaves -------
+    lin, in_box = _linkey(state, res, points)
+    lin_valid = jnp.where(valid & in_box, lin, fill)
+    uniq = jnp.unique(lin_valid, size=B, fill_value=fill)          # sorted
+    is_real = uniq != fill
+    existing = jnp.where(is_real, state.key_to_leaf[jnp.minimum(uniq, state.key_to_leaf.shape[0] - 1)], -2)
+    is_new = is_real & (existing == -1)
+    # assign gp_indices to new leaves in key order (reference assigns in
+    # octree iteration order, src/gp_mapping.cpp:86-94)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    new_ids = state.n_patches + new_rank
+    overflow = new_ids >= B
+    leaf_id_of_uniq = jnp.where(is_new & ~overflow, new_ids,
+                                jnp.where(is_real, existing, B))
+    n_patches = jnp.minimum(state.n_patches + jnp.sum(is_new & ~overflow), B)
+
+    key_to_leaf = state.key_to_leaf.at[
+        jnp.where(is_new & ~overflow, uniq, state.key_to_leaf.shape[0])
+    ].set(jnp.where(is_new & ~overflow, new_ids, 0).astype(jnp.int32),
+          mode='drop')
+
+    # rebuild the sorted leaf table (old + new keys)
+    all_keys = jnp.concatenate([state.leaf_keys,
+                                jnp.where(is_new & ~overflow, uniq, fill)])
+    all_ids = jnp.concatenate([state.leaf_ids,
+                               jnp.where(is_new & ~overflow, new_ids, 0)])
+    order = jnp.argsort(all_keys)
+    leaf_keys = all_keys[order][:B]
+    leaf_ids = all_ids[order][:B].astype(jnp.int32)
+
+    grid = VoxelGrid(keys=leaf_keys, n_leaves=n_patches,
+                     origin=state.origin, dims=state.dims, res=res)
+
+    # ---- 2. sphere stats for would-be-new patches (plane fits from the
+    # CURRENT scan's sphere points, as the reference does
+    # src/gp_mapping.cpp:129-134) -----------------------------------------
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+    h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)
+    hh = h[:, :, None] * h[:, None, :]
+    M = jnp.zeros((B, 4, 4), dt)
+    sphere_counts = jnp.zeros((B,), jnp.int32)
+    for off in offsets:
+        idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
+        gid = jnp.where(ok, leaf_ids[idx], B)
+        M = M + jax.ops.segment_sum(hh * ok[:, None, None], gid,
+                                    num_segments=B + 1)[:B]
+        sphere_counts = sphere_counts + jax.ops.segment_sum(
+            ok.astype(jnp.int32), gid, num_segments=B + 1)[:B]
+    R_fresh = rotation.rotation_from_moment_batch(
+        M, sphere_counts, cfg.patch.min_points_for_rotation)
+
+    centers_all = state.origin + (voxel.delinearize(
+        jnp.minimum(leaf_keys, fill - 1), state.dims).astype(dt) + 0.5) * res
+    # scatter per-gp_index voxel centers
+    centers_by_id = jnp.zeros((B + 1, 3), dt).at[
+        jnp.where(jnp.arange(B) < n_patches, leaf_ids, B)
+    ].set(centers_all, mode='drop')[:B]
+
+    # which leaves become patches THIS insertion: not created, and pending
+    # + sphere evidence >= min_nbr (src/gp_mapping.cpp:126)
+    evidence = state.pend_count + sphere_counts
+    becomes = (~state.created) & (evidence >= min_nbr) & \
+              (jnp.arange(B) < n_patches)
+
+    # ---- 3. claim points: trained old patches first-claim in key order,
+    # then newly-created patches (the reference's single leaf sweep
+    # interleaves both by leaf order; two priority classes differ only when
+    # an old and a new leaf contest a point — the old leaf's sphere claims
+    # it in either order because its clip frame exists) -------------------
+    trained_or_new = state.created | becomes
+    rot_eff = jnp.where(becomes[:, None, None], R_fresh, state.rotations)
+    mean_eff = jnp.where(becomes[:, None], centers_by_id, state.means)
+    # pad bank lookups with one dummy row
+    rot_p = jnp.concatenate([rot_eff, jnp.eye(3, dtype=dt)[None]], 0)
+    mean_p = jnp.concatenate([mean_eff, jnp.zeros((1, 3), dt)], 0)
+    trained_p = jnp.concatenate([trained_or_new, jnp.zeros((1,), bool)])
+    ids_p = jnp.concatenate([leaf_ids, jnp.asarray([B], jnp.int32)])
+
+    claim, loc_claim, claimed = registration.claim_to_patches(
+        grid, rot_p, mean_p, trained_p, points, valid, cfg.patch.res,
+        leaf_ids=ids_p)
+
+    # pending points of newly-created patches also join (projected through
+    # the fresh frame; transform_to_new consumes to_be_added,
+    # src/gp_mapping.cpp:260-281)
+    pend_valid = (jnp.arange(Pp)[None, :] < state.pend_count[:, None]) \
+        & becomes[:, None]                                        # [B, Pp]
+    pend_rel = state.pend_pts - mean_eff[:, None, :]
+    pend_loc = jnp.einsum('bji,bpj->bpi', rot_eff, pend_rel)      # R^T rel
+    pend_clip = ((jnp.abs(pend_loc[..., 1]) <= half)
+                 & (jnp.abs(pend_loc[..., 2]) <= half) & pend_valid)
+
+    # ---- 4. per-patch means for NEW patches (demean depth + colors over
+    # claimed current + pending points, src/gp_mapping.cpp:283-289) -------
+    seg = jnp.where(claimed, claim, B)
+    onesc = claimed.astype(dt)
+    cur_cnt = jax.ops.segment_sum(onesc, seg, num_segments=B + 1)[:B]
+    cur_d = jax.ops.segment_sum(loc_claim[:, 0] * onesc, seg,
+                                num_segments=B + 1)[:B]
+    cur_c = jax.ops.segment_sum(colors * onesc[:, None], seg,
+                                num_segments=B + 1)[:B]
+    pf = pend_clip.astype(dt)
+    pend_cnt = jnp.sum(pf, axis=1)
+    pend_d = jnp.sum(pend_loc[..., 0] * pf, axis=1)
+    pend_c = jnp.sum(state.pend_cols * pf[..., None], axis=1)
+    tot = jnp.maximum(cur_cnt + pend_cnt, 1.0)
+    mn = (cur_d + pend_d) / tot
+    cmn = (cur_c + pend_c) / tot[:, None]
+
+    # new patches: frame + adjusted center + color mean; old patches keep
+    # theirs (transform_to_old does not re-demean, src/gp_mapping.cpp:237)
+    rotations = jnp.where(becomes[:, None, None], R_fresh, state.rotations)
+    means = jnp.where(becomes[:, None],
+                      centers_by_id + mn[:, None] * R_fresh[:, :, 0],
+                      state.means)
+    rgb_means = jnp.where(becomes[:, None], cmn, state.rgb_means)
+    created = state.created | becomes
+
+    # training depths/colors: new patches demean; old patches use raw local
+    # depth and stored color mean
+    is_new_claim = becomes[jnp.where(claimed, claim, 0)]
+    d_train = loc_claim[:, 0] - jnp.where(is_new_claim,
+                                          mn[jnp.where(claimed, claim, 0)], 0.0)
+    c_train = colors - rgb_means[jnp.where(claimed, claim, 0)]
+
+    # ---- 5. W mask update (OR for old, set for new — both are OR on a
+    # fresh/existing mask, src/gp_mapping.cpp:242,290) --------------------
+    cell = jnp.clip((sz * (loc_claim[:, 1] / res + 0.5)).astype(jnp.int32),
+                    0, sz - 1) * sz + \
+        jnp.clip((sz * (loc_claim[:, 2] / res + 0.5)).astype(jnp.int32),
+                 0, sz - 1)
+    wflat = jnp.where(claimed, claim * G + cell, B * G)
+    Wadd = jax.ops.segment_sum(onesc, wflat, num_segments=B * G + 1)[:B * G]
+    pend_cell = jnp.clip((sz * (pend_loc[..., 1] / res + 0.5)).astype(jnp.int32),
+                         0, sz - 1) * sz + \
+        jnp.clip((sz * (pend_loc[..., 2] / res + 0.5)).astype(jnp.int32),
+                 0, sz - 1)
+    pwflat = jnp.where(pend_clip, jnp.arange(B)[:, None] * G + pend_cell,
+                       B * G).reshape(-1)
+    Wadd = Wadd + jax.ops.segment_sum(pf.reshape(-1), pwflat,
+                                      num_segments=B * G + 1)[:B * G]
+    W = state.W | (Wadd > 0).reshape(B, G)
+
+    # ---- 6. bank claimed points and train GPs incrementally -------------
+    uv = loc_claim[:, 1:]
+    Xb, Yb, Cb, Mb = _bank_training_points(
+        claim, claimed, uv, d_train, c_train, B, Pmax)
+    # append pending points of new patches into the banks (their uv/depth
+    # in the fresh frame, demeaned)
+    pend_uv = pend_loc[..., 1:]
+    pend_depth = pend_loc[..., 0] - mn[:, None]
+    pend_ccols = state.pend_cols - cmn[:, None, :]
+    Xb2 = jnp.concatenate([Xb, pend_uv], axis=1)
+    Yb2 = jnp.concatenate([Yb, pend_depth[..., None]], axis=1)
+    Cb2 = jnp.concatenate([Cb, pend_ccols], axis=1)
+    Mb2 = jnp.concatenate([Mb, pend_clip], axis=1)
+
+    dkp, ckp = default_params(cfg)
+    dnoise = GaussianNoise(s20=jnp.asarray(cfg.depth_gp.s20, dt))
+    cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20, dt))
+    kd, kc = jax.random.split(key)
+    depth_gp = sparse_gp.add_points_batch(
+        dkp, dnoise, cfg.depth_gp, state.depth_gp, Xb2, Yb2, Mb2,
+        jax.random.split(kd, B))
+    rgb_gp = sparse_gp.add_points_batch(
+        ckp, cnoise, cfg.rgb_gp, state.rgb_gp, Xb2, Cb2, Mb2,
+        jax.random.split(kc, B))
+
+    # ---- 7. pending buffers: consumed for created patches; unclaimed
+    # points accumulate into their HOME voxel's pending buffer ------------
+    pend_pts = jnp.where(becomes[:, None, None], 0.0, state.pend_pts)
+    pend_cols = jnp.where(becomes[:, None, None], 0.0, state.pend_cols)
+    pend_count = jnp.where(becomes, 0, state.pend_count)
+
+    # after allocation the table includes the new ids
+    home_gid = jnp.where(
+        lin_valid != fill,
+        key_to_leaf[jnp.minimum(jnp.maximum(lin_valid, 0),
+                                key_to_leaf.shape[0] - 1)], -1)
+    store = (~claimed) & valid & in_box & (home_gid >= 0) \
+        & ~created[jnp.maximum(home_gid, 0)]
+    # rank within home voxel
+    order = jnp.argsort(jnp.where(store, home_gid, B), stable=True)
+    sc = jnp.where(store, home_gid, B)[order]
+    first = jnp.searchsorted(sc, sc, side='left')
+    rank = jnp.zeros(N, jnp.int32).at[order].set(
+        (jnp.arange(N) - first).astype(jnp.int32))
+    slot = pend_count[jnp.maximum(home_gid, 0)] + rank
+    okp = store & (slot < Pp)
+    pflat = jnp.where(okp, home_gid * Pp + slot, B * Pp)
+    pend_pts = pend_pts.reshape(B * Pp, 3).at[pflat].set(
+        jnp.where(okp[:, None], points, 0.0), mode='drop').reshape(B, Pp, 3)
+    pend_cols = pend_cols.reshape(B * Pp, 3).at[pflat].set(
+        jnp.where(okp[:, None], colors, 0.0), mode='drop').reshape(B, Pp, 3)
+    added = jax.ops.segment_sum(okp.astype(jnp.int32),
+                                jnp.where(okp, home_gid, B),
+                                num_segments=B + 1)[:B]
+    pend_count = jnp.minimum(pend_count + added, Pp)
+
+    # ---- 8. free-space carving ------------------------------------------
+    free = _carve_free_space(state, key_to_leaf, created, rotations, means,
+                             state.free, points, valid & claimed, claim,
+                             cfg, mcfg)
+
+    return state._replace(
+        key_to_leaf=key_to_leaf, leaf_keys=leaf_keys, leaf_ids=leaf_ids,
+        n_patches=n_patches, rotations=rotations, means=means,
+        rgb_means=rgb_means, W=W, free=free, created=created,
+        depth_gp=depth_gp, rgb_gp=rgb_gp, pend_pts=pend_pts,
+        pend_cols=pend_cols, pend_count=pend_count)
+
+
+def _bank_training_points(claim, claimed, uv, depth, cols, B, P):
+    N = claim.shape[0]
+    dt = uv.dtype
+    order = jnp.argsort(jnp.where(claimed, claim, B), stable=True)
+    sc = jnp.where(claimed, claim, B)[order]
+    first = jnp.searchsorted(sc, sc, side='left')
+    rank = jnp.zeros(N, jnp.int32).at[order].set(
+        (jnp.arange(N) - first).astype(jnp.int32))
+    ok = claimed & (rank < P)
+    flat = jnp.where(ok, claim * P + rank, B * P)
+    Xb = jnp.zeros((B * P, 2), dt).at[flat].set(
+        jnp.where(ok[:, None], uv, 0.0), mode='drop').reshape(B, P, 2)
+    Yb = jnp.zeros((B * P, 1), dt).at[flat].set(
+        jnp.where(ok[:, None], depth[:, None], 0.0), mode='drop').reshape(B, P, 1)
+    Cb = jnp.zeros((B * P, 3), dt).at[flat].set(
+        jnp.where(ok[:, None], cols, 0.0), mode='drop').reshape(B, P, 3)
+    Mb = jnp.zeros((B * P,), bool).at[flat].set(ok, mode='drop').reshape(B, P)
+    return Xb, Yb, Cb, Mb
+
+
+def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
+                      means, free, points, hit_valid, hit_claim,
+                      cfg: CompressorConfig, mcfg: MappingConfig):
+    """Batched ray-voxel DDA replacing gp_octree::get_intersected_gps
+    (src/gp_octree.cpp:66-206) + the marking logic of train_classification
+    (src/gp_mapping.cpp:154-211): walk each camera->point ray through the
+    voxel grid; every created patch crossed strictly before the hit patch
+    gets its plane-crossing cell marked free=True; the hit patch's cell is
+    marked free=False. Patches beyond the hit are untouched. Within one
+    insertion a hit (False) wins over a crossing (True)."""
+    B = cfg.patch.max_patches
+    G = cfg.patch.sz ** 2
+    sz = cfg.patch.sz
+    dt = points.dtype
+    res = jnp.asarray(cfg.patch.res, dt)
+    half = res / 2.0
+    N = points.shape[0]
+    cam = state.t_cloud.astype(dt)                       # camera position
+    delta = points - cam                                 # ray directions
+
+    steps = mcfg.max_ray_steps
+    # sample the ray at fixed fractional steps fine enough to touch every
+    # crossed voxel (step length <= res/2 along the dominant axis)
+    tvals = (jnp.arange(steps, dtype=dt) + 0.5) / steps  # (0, 1)
+    free_marks = jnp.zeros((B * G + 1,), bool)
+    hit_marks = jnp.zeros((B * G + 1,), bool)
+
+    ncells = key_to_leaf.shape[0]
+
+    def mark_at(t, carry):
+        free_marks, hit_marks = carry
+        p = cam[None, :] + tvals[t] * delta               # [N, 3]
+        keys3 = voxel.point_keys(p, state.origin, res)
+        inb = jnp.all((keys3 >= 0) & (keys3 < state.dims), axis=-1)
+        lin = (keys3[..., 0] * state.dims[1] + keys3[..., 1]) * state.dims[2] \
+            + keys3[..., 2]
+        gid = jnp.where(inb & hit_valid,
+                        key_to_leaf[jnp.clip(lin, 0, ncells - 1)], -1)
+        ok = (gid >= 0) & created[jnp.maximum(gid, 0)]
+        g = jnp.maximum(gid, 0)
+        n = rotations[g][:, :, 0]                         # patch normals
+        mid = means[g]
+        denom = jnp.sum(n * delta, axis=-1)
+        dplane = jnp.sum(n * (mid - cam[None, :]), axis=-1) / \
+            jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        inter = cam[None, :] + dplane[:, None] * delta
+        loc = jnp.einsum('nji,nj->ni', rotations[g], inter - mid)
+        clip_ok = (jnp.abs(loc[:, 1]) <= half) & (jnp.abs(loc[:, 2]) <= half)
+        cell = jnp.clip((sz * (loc[:, 1] / res + 0.5)).astype(jnp.int32),
+                        0, sz - 1) * sz + \
+            jnp.clip((sz * (loc[:, 2] / res + 0.5)).astype(jnp.int32),
+                     0, sz - 1)
+        # samples run only to t=1 (the measured point), so patches beyond
+        # the hit are never touched — matching the far-to-near skip loop of
+        # train_classification (src/gp_mapping.cpp:175-190)
+        is_hit = gid == hit_claim
+        okm = ok & clip_ok & inb
+        f_idx = jnp.where(okm & ~is_hit, g * G + cell, B * G)
+        h_idx = jnp.where(okm & is_hit, g * G + cell, B * G)
+        free_marks = free_marks.at[f_idx].set(True)
+        hit_marks = hit_marks.at[h_idx].set(True)
+        return free_marks, hit_marks
+
+    free_marks, hit_marks = jax.lax.fori_loop(
+        0, steps, mark_at, (free_marks, hit_marks))
+    fm = free_marks[:B * G].reshape(B, G)
+    hm = hit_marks[:B * G].reshape(B, G)
+    return (free | fm) & ~hm
+
+
+# ---------------------------------------------------------------------------
+# the full add_cloud loop
+# ---------------------------------------------------------------------------
+
+def _map_as_compressed(state: MapState, cfg: CompressorConfig):
+    """Lightweight registration view of the map (no copies of GP banks)."""
+    from gp_compressor_tpu.geometry.patches import PatchBatch
+    from gp_compressor_tpu.workloads.compressor import CompressedCloud
+
+    B = state.rotations.shape[0]
+    # indirection: registration claims by sorted-key slot; translate
+    rot = state.rotations[state.leaf_ids]
+    mean = state.means[state.leaf_ids]
+    rgbm = state.rgb_means[state.leaf_ids]
+    gp_d = jax.tree.map(lambda a: a[state.leaf_ids], state.depth_gp)
+    gp_c = jax.tree.map(lambda a: a[state.leaf_ids], state.rgb_gp)
+    G = state.W.shape[1]
+    dummy = jnp.zeros((B, 0, 2), state.means.dtype)
+    batch = PatchBatch(
+        grid=state.grid(cfg.patch.res), rotations=rot, means=mean,
+        rgb_means=rgbm, W=state.W[state.leaf_ids],
+        X=dummy, y=jnp.zeros((B, 0, 1), state.means.dtype),
+        rgb=jnp.zeros((B, 0, 3), state.means.dtype),
+        mask=jnp.zeros((B, 0), bool), counts=jnp.zeros((B,), jnp.int32),
+        claims=jnp.zeros((0,), jnp.int32), n_leaves=state.n_patches)
+    return CompressedCloud(patch=batch, depth_gp=gp_d, rgb_gp=gp_c)
+
+
+def add_cloud(state: MapState, points, colors, valid, cfg: CompressorConfig,
+              mcfg: MappingConfig, key: jax.Array,
+              rcfg: RegistrationConfig = RegistrationConfig(),
+              register_scan: bool = True) -> Tuple[MapState, dict]:
+    """gp_mapping::add_cloud (src/gp_mapping.cpp:12-35): transform by the
+    accumulated pose, register to convergence, insert unless the step cap
+    was hit."""
+    dt = points.dtype
+    pts = transforms.apply(points, state.R_cloud, state.t_cloud)
+
+    diverged = False
+    if register_scan and int(state.n_patches) > 0:
+        comp = _map_as_compressed(state, cfg)
+        rstate, pts = registration.register(
+            comp, pts, colors, valid, cfg, rcfg)
+        state = state._replace(R_cloud=rstate.R_cloud @ state.R_cloud,
+                               t_cloud=state.t_cloud + rstate.t_cloud)
+        diverged = bool(rstate.step_nbr >= rcfg.max_steps)
+
+    info = {"diverged": diverged}
+    if diverged:
+        return state, info                     # drop scan (:22-27)
+    min_nbr = 1 if int(state.n_patches) == 0 else mcfg.min_points_new_patch
+    state = map_insert(state, pts, colors, valid, cfg, mcfg, key, min_nbr)
+    info["n_patches"] = int(state.n_patches)
+    return state, info
+
+
+def map_cloud(state: MapState, cfg: CompressorConfig):
+    """Predict the full map as a cloud (load_compressed over the map banks)."""
+    from gp_compressor_tpu.geometry import patches as patches_mod
+
+    B = state.rotations.shape[0]
+    G = cfg.patch.sz ** 2
+    dkp, ckp = default_params(cfg)
+    grid_uv = patches_mod.prediction_grid(cfg.patch, state.means.dtype)
+    dmean, _ = sparse_gp.predict_batch(dkp, cfg.depth_gp.s20, state.depth_gp,
+                                       jnp.broadcast_to(grid_uv, (B, G, 2)))
+    cmean, _ = sparse_gp.predict_batch(ckp, cfg.rgb_gp.s20, state.rgb_gp,
+                                       jnp.broadcast_to(grid_uv, (B, G, 2)))
+    local = jnp.concatenate([dmean, jnp.broadcast_to(grid_uv, (B, G, 2))],
+                            axis=-1)
+    world = jnp.einsum('bij,bgj->bgi', state.rotations, local) \
+        + state.means[:, None, :]
+    colors = jnp.clip(jnp.where(jnp.isfinite(cmean + state.rgb_means[:, None, :]),
+                                cmean + state.rgb_means[:, None, :], 255.0),
+                      0.0, 255.0)
+    okp = state.created[:, None] & (sparse_gp.size(state.depth_gp) > 0)[:, None]
+    okp = jnp.broadcast_to(okp, (B, G))
+    return world.reshape(-1, 3), colors.reshape(-1, 3), okp.reshape(-1)
