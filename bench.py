@@ -128,14 +128,24 @@ def main():
     valid = jnp.ones(pts.shape[0], bool)
     key = jax.random.key(0)
 
+    use_pallas = jax.devices()[0].platform != "cpu" and \
+        os.environ.get("GPTPU_NO_PALLAS") != "1"
+
     def pipeline(pts, cols, valid, key):
-        comp = compressor.compress(pts, cols, valid, cfg, key)
+        comp = compressor.compress(pts, cols, valid, cfg, key,
+                                   use_pallas=use_pallas)
         out = compressor.decompress(comp, cfg)
         return comp, out
 
-    # warmup / compile
-    comp, out = pipeline(pts, cols, valid, key)
-    jax.block_until_ready(out)
+    # warmup / compile (fall back to the XLA scan path if the fused kernel
+    # fails to compile on this backend)
+    try:
+        comp, out = pipeline(pts, cols, valid, key)
+        jax.block_until_ready(out)
+    except Exception:
+        use_pallas = False
+        comp, out = pipeline(pts, cols, valid, key)
+        jax.block_until_ready(out)
     n_claimed = int(jnp.sum(comp.patch.mask))
 
     times = []
@@ -160,6 +170,7 @@ def main():
             "n_patches": int(comp.patch.n_leaves),
             "n_claimed_in_banks": n_claimed,
             "in_sample_rmse_m": round(rmse, 4),
+            "fused_pallas_train": use_pallas,
             "device": str(jax.devices()[0]),
         },
     }

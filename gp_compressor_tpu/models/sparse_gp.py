@@ -342,7 +342,8 @@ def reset(state: SOGPState) -> SOGPState:
 
 
 def sanitize_batch(states: SOGPState, kp: Optional[RBFParams] = None,
-                   s20=None, max_pred: float = 1e3):
+                   s20=None, max_pred: float = 1e3,
+                   probes: Optional[jnp.ndarray] = None):
     """Reset patches whose state went non-finite or predicts garbage;
     returns (states, n_bad).
 
@@ -361,7 +362,15 @@ def sanitize_batch(states: SOGPState, kp: Optional[RBFParams] = None,
         axes = tuple(range(1, leaf.ndim))
         bad = bad | ~jnp.all(jnp.isfinite(leaf), axis=axes)
     if kp is not None:
-        mean, var = predict_batch(kp, s20, states, states.bv)
+        # probe across the patch footprint, not just the BV sites — a
+        # diverged alpha can cancel exactly at its own BVs while predicting
+        # garbage millimetres away
+        sites = states.bv
+        if probes is not None:
+            B = states.bv.shape[0]
+            sites = jnp.concatenate(
+                [sites, jnp.broadcast_to(probes, (B,) + probes.shape)], axis=1)
+        mean, var = predict_batch(kp, s20, states, sites)
         pred_ok = jnp.all(jnp.isfinite(mean) & (jnp.abs(mean) < max_pred),
                           axis=(1, 2)) & jnp.all(jnp.isfinite(var), axis=1)
         bad = bad | ~pred_ok

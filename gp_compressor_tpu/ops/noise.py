@@ -38,30 +38,41 @@ class GaussianNoise(NamedTuple):
 
 
 class ProbitNoise(NamedTuple):
-    """Probit classification model for binary y in {-1, +1}
-    (reference: src/probit_noise.cpp:11-31 — including its idiosyncratic
-    erf(z)/(2 sqrt 2) normalisation, which we reproduce bit-for-bit so the
-    occupancy channel matches the reference's intended math).
+    """Probit classification model for binary y in {-1, +1}.
+
+    Reference deviation (intentional): src/probit_noise.cpp:11-31 uses
+    erf(z)/(2 sqrt 2) where the probit likelihood needs the normal CDF
+    Phi(z) = (1 + erf(z / sqrt 2)) / 2 — the reference's form is zero at
+    m = 0 so its very first update divides by zero; the class is linked
+    but never instantiated upstream, i.e. it was never executed. Here the
+    standard Csató–Opper classification moments are used:
+      ln P(y|f) ~ ln Phi(y m / sigma),  sigma = sqrt(s20 + s2)
+      dx_ln  = y phi(z) / (sigma Phi(z))
+      dx2_ln = -(phi/Phi) (z + phi/Phi) / sigma^2
+    with the usual numerically-safe phi/Phi ratio.
     """
 
     s20: jnp.ndarray
 
+    def _ratio(self, z):
+        """phi(z) / Phi(z), stable for very negative z."""
+        phi = jnp.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+        Phi = 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
+        # asymptotic -z for z << 0 avoids 0/0
+        safe = phi / jnp.maximum(Phi, 1e-30)
+        return jnp.where(z < -8.0, -z, safe)
+
     def dx_ln(self, y: jnp.ndarray, m: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
         sigma = jnp.sqrt(self.s20 + s2)
         z = y * m / sigma
-        ef = erf(z) / (2.0 * math.sqrt(2.0))
-        efprim = jnp.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
-        return y / sigma * efprim / ef
+        return y / sigma * self._ratio(z)
 
     def dx2_ln(self, y: jnp.ndarray, m: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
         sigma2 = self.s20 + s2
         sigma = jnp.sqrt(sigma2)
         z = jnp.sum(y * m) / sigma  # dout == 1 for probit; sum collapses the axis
-        ef = erf(z) / (2.0 * math.sqrt(2.0))
-        efprim = jnp.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
-        efprimprim = -z * efprim
-        first = efprim / ef
-        return (efprimprim / ef - first * first) / sigma2
+        ratio = self._ratio(z)
+        return -ratio * (z + ratio) / sigma2
 
 
 NoiseModel = Union[GaussianNoise, ProbitNoise]

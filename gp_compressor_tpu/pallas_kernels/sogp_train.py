@@ -1,0 +1,251 @@
+"""Fused SOGP training kernel (Pallas/TPU) — the framework's hot op.
+
+The XLA path (models.sparse_gp.add_points_batch) scans points with the
+[B, S, S] C/Q state living in HBM: every scan step reads and writes the
+whole state, so a P-point cloud moves ~2*P*B*S^2 floats of HBM traffic.
+This kernel keeps a block of patches' entire state resident in VMEM across
+the whole point loop, cutting state traffic by a factor of P (~256x) and
+turning the update into pure VPU arithmetic.
+
+Layout: patches ride the 128-wide LANE axis ("structure-of-arrays"):
+  C, Q:   [S, S, L]     alpha: [S, D, L]    bv: [S, 2, L]
+  active: [S, L]        X: [P, 2, L]  Y: [P, D, L]  valid: [P, L]
+Every scalar of the serial algorithm (src/sparse_gp.hpp:90-249) becomes an
+[L]-vector; every [S]-vector becomes [S, L]; rank-1 updates become
+[S, S, L] elementwise multiply-adds. All reductions run over sublane axes,
+which the VPU vectorizes at full width.
+
+VMEM discipline (the v5e budget is 16 MB): state buffers alias in/out and
+are MUTATED through refs after each algebraic step so Mosaic can retire
+temporaries early; the sparse/full branches are fused by predicating the
+rank-1 vectors/coefficients BEFORE the outer products (one [S, S, L]
+multiply-add per matrix per point); point validity is folded into the
+coefficients instead of full-size selects.
+
+Semantics match models.sparse_gp.add_point (same full/sparse select,
+capacity deletion, bounded geometric deletions, s2>=gamma clamp); parity
+tests run both paths. Gaussian noise only — the probit occupancy channel
+trains through the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gp_compressor_tpu.config import GPConfig
+from gp_compressor_tpu.models.sparse_gp import SOGPState
+from gp_compressor_tpu.ops.kernels import RBFParams
+
+LANES = 128
+
+
+def _diag(M):
+    """Diagonal of [S, S, L] -> [S, L]. The eye mask is float32 before it
+    gains a minor dim — Mosaic cannot reshape i1 vectors into a new minor
+    dimension."""
+    S = M.shape[0]
+    i = lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    j = lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    eye = (i == j).astype(M.dtype)
+    return jnp.sum(M * eye[:, :, None], axis=1)
+
+
+def _kernel(cfg: GPConfig, n_points: int,
+            prm_ref, X_ref, Y_ref, V_ref, bv_in, al_in, C_in, Q_in, act_in,
+            bv_o, al_o, C_o, Q_o, act_o):
+    S = cfg.slots
+    sigmaf_sq = prm_ref[0, 0]
+    l_sq = prm_ref[0, 1]
+    s20 = prm_ref[0, 2]
+    kstar = sigmaf_sq
+    iota = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+
+    def delete_inplace(loc, do):
+        """Conditional per-lane BV removal, mutating the state refs.
+        `do`: [L] float (1.0 = delete on this lane)."""
+        ohd = (iota == loc[None, :]).astype(jnp.float32) * do[None, :]
+        # ohd is zero on lanes that do not delete -> all deltas vanish
+        alpha = al_o[:]
+        C = C_o[:]
+        Q = Q_o[:]
+        astar = jnp.sum(alpha * ohd[:, None, :], axis=0)     # [D, L]
+        Ccol = jnp.sum(C * ohd[None, :, :], axis=1)          # [S, L]
+        Qcol = jnp.sum(Q * ohd[None, :, :], axis=1)
+        cstar = jnp.sum(Ccol * ohd, axis=0)                  # [L]
+        qstar = jnp.sum(Qcol * ohd, axis=0)
+        keep = 1.0 - ohd
+        Cs = Ccol * keep
+        Qs = Qcol * keep
+        qc = Qs + Cs
+        den = qstar + cstar
+        inv_q = do / jnp.where(jnp.abs(qstar) > 1e-30, qstar, 1.0)
+        inv_d = do / jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        # zeroing of row/col loc on deleting lanes: M*keep_i*keep_j =
+        # M - do*(row+col outer parts); fold into the rank-1 deltas
+        al_o[:] = (alpha - qc[:, None, :] * (astar * inv_d[None, :])[None, :, :]) \
+            * keep[:, None, :]
+        C_o[:] = (C + Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]
+                  - qc[:, None, :] * (qc * inv_d[None, :])[None, :, :]) \
+            * keep[:, None, :] * keep[None, :, :]
+        Q_o[:] = (Q - Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]) \
+            * keep[:, None, :] * keep[None, :, :]
+        bv_o[:] = bv_o[:] * keep[:, None, :]
+        act_o[:] = act_o[:] * keep
+
+    def body(p, carry):
+        x = X_ref[p]                       # [2, L]
+        y = Y_ref[p]                       # [D, L]
+        v = V_ref[p]                       # [L] float validity
+
+        act = act_o[:]
+        bv = bv_o[:]
+        diff = bv - x[None, :, :]          # [S, 2, L]
+        d2 = jnp.sum(diff * diff, axis=1)  # [S, L]
+        k = sigmaf_sq * jnp.exp(-0.5 / l_sq * d2) * act
+
+        alpha = al_o[:]
+        m = jnp.sum(alpha * k[:, None, :], axis=0)              # [D, L]
+        Ck = jnp.sum(C_o[:] * k[None, :, :], axis=1)            # [S, L]
+        s2 = kstar + jnp.sum(k * Ck, axis=0)                    # [L]
+        e_hat = jnp.sum(Q_o[:] * k[None, :, :], axis=1)         # [S, L]
+        gamma = kstar - jnp.sum(k * e_hat, axis=0)              # [L]
+        gamma = jnp.where(gamma < cfg.gamma_tiny, 0.0, gamma)
+        s2 = jnp.maximum(s2, gamma)        # f32 invariant (see sparse_gp)
+        r = -1.0 / (s20 + s2)              # Gaussian noise dx2_ln
+        q = (y - m) / (s20 + s2)           # [D, L] dx_ln
+
+        sp = (gamma < cfg.eps_tol).astype(jnp.float32)          # [L] 1=sparse
+        eta = 1.0 / (1.0 + gamma * r)
+        slot = jnp.argmin(act, axis=0)                          # [L]
+        oh = (iota == slot[None, :]).astype(jnp.float32)        # [S, L]
+
+        # fused predicated rank-1 updates; validity folds into coefficients
+        v1 = Ck + sp[None, :] * e_hat + (1.0 - sp)[None, :] * oh
+        coefA = (sp * eta + (1.0 - sp)) * v                     # [L]
+        al_o[:] = alpha + v1[:, None, :] * (q * coefA[None, :])[None, :, :]
+        C_o[:] = C_o[:] + (r * coefA)[None, None, :] \
+            * v1[:, None, :] * v1[None, :, :]
+        gsafe = jnp.maximum(gamma, cfg.gamma_tiny)
+        coefQ = (1.0 - sp) * v / gsafe                          # [L]
+        e_f = e_hat - oh
+        Q_o[:] = Q_o[:] + coefQ[None, None, :] * e_f[:, None, :] * e_f[None, :, :]
+        grow = (1.0 - sp)[None, :] * v[None, :] * oh            # [S, L]
+        bv_o[:] = bv * (1.0 - grow)[:, None, :] + grow[:, None, :] * x[None, :, :]
+        act_o[:] = jnp.maximum(act, grow)
+
+        # capacity deletion (one per insertion suffices)
+        act2 = act_o[:]
+        size = jnp.sum(act2, axis=0)
+        scores = jnp.where(act2 > 0,
+                           jnp.sum(al_o[:] * al_o[:], axis=1)
+                           / (_diag(Q_o[:]) + _diag(C_o[:])), jnp.inf)
+        loc = jnp.argmin(scores, axis=0)
+        over = ((size > float(cfg.capacity)).astype(jnp.float32)) * v
+        delete_inplace(loc, over)
+
+        for _ in range(cfg.max_geometric_deletes):
+            act3 = act_o[:]
+            g = jnp.where(act3 > 0, 1.0 / _diag(Q_o[:]), jnp.inf)
+            locg = jnp.argmin(g, axis=0)
+            dog = ((jnp.min(g, axis=0) < cfg.geom_tol)
+                   & (jnp.sum(act3, axis=0) > 1)).astype(jnp.float32) * v
+            delete_inplace(locg, dog)
+        return carry
+
+    # initialise outputs from the (aliased) inputs, then loop in place
+    bv_o[:] = bv_in[:]
+    al_o[:] = al_in[:]
+    C_o[:] = C_in[:]
+    Q_o[:] = Q_in[:]
+    act_o[:] = act_in[:]
+    lax.fori_loop(0, n_points, body, 0)
+
+
+def _to_lanes(a, B):
+    """[B, ...] -> [nblk, ..., LANES] with padding."""
+    nblk = (B + LANES - 1) // LANES
+    pad = nblk * LANES - B
+    a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+    a = a.reshape((nblk, LANES) + a.shape[1:])
+    perm = (0,) + tuple(range(2, a.ndim)) + (1,)
+    return a.transpose(perm)
+
+
+def _from_lanes(a, B):
+    """[nblk, ..., LANES] -> [B, ...]."""
+    nd = a.ndim
+    perm = (0, nd - 1) + tuple(range(1, nd - 1))
+    a = a.transpose(perm)
+    return a.reshape((-1,) + a.shape[2:])[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
+                            X: jnp.ndarray, Y: jnp.ndarray,
+                            mask: jnp.ndarray,
+                            interpret: bool = False) -> SOGPState:
+    """Drop-in for sparse_gp.add_points_batch (Gaussian noise, no shuffle —
+    pre-permute X/Y/mask outside if desired). X: [B, P, 2], Y: [B, P, D],
+    mask: [B, P]."""
+    B, P, _ = X.shape
+    dt = states.C.dtype
+
+    Xl = _to_lanes(X, B)                       # [nblk, P, 2, L]
+    Yl = _to_lanes(Y, B)                       # [nblk, P, D, L]
+    Vl = _to_lanes(mask.astype(dt), B)         # [nblk, P, L]
+    bvl = _to_lanes(states.bv, B)              # [nblk, S, 2, L]
+    al = _to_lanes(states.alpha, B)            # [nblk, S, D, L]
+    Cl = _to_lanes(states.C, B)                # [nblk, S, S, L]
+    Ql = _to_lanes(states.Q, B)
+    actl = _to_lanes(states.active.astype(dt), B)  # [nblk, S, L]
+    nblk = Xl.shape[0]
+
+    prm = jnp.stack([jnp.asarray(kp.sigmaf_sq, dt), jnp.asarray(kp.l_sq, dt),
+                     jnp.asarray(cfg.s20, dt)])[None, :]          # [1, 3]
+    kern = functools.partial(_kernel, cfg, P)
+
+    def bspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def kernel_wrap(prm_ref, X_ref, Y_ref, V_ref, bv_ref, alpha_ref, C_ref,
+                    Q_ref, act_ref, bv_o, al_o, C_o, Q_o, act_o):
+        kern(prm_ref, X_ref.at[0], Y_ref.at[0], V_ref.at[0], bv_ref.at[0],
+             alpha_ref.at[0], C_ref.at[0], Q_ref.at[0], act_ref.at[0],
+             bv_o.at[0], al_o.at[0], C_o.at[0], Q_o.at[0], act_o.at[0])
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(bvl.shape, dt),
+        jax.ShapeDtypeStruct(al.shape, dt),
+        jax.ShapeDtypeStruct(Cl.shape, dt),
+        jax.ShapeDtypeStruct(Ql.shape, dt),
+        jax.ShapeDtypeStruct(actl.shape, dt),
+    ]
+    bv2, a2, C2, Q2, act2 = pl.pallas_call(
+        kernel_wrap,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  bspec(Xl.shape[1:]), bspec(Yl.shape[1:]), bspec(Vl.shape[1:]),
+                  bspec(bvl.shape[1:]), bspec(al.shape[1:]),
+                  bspec(Cl.shape[1:]), bspec(Ql.shape[1:]),
+                  bspec(actl.shape[1:])],
+        out_specs=[bspec(bvl.shape[1:]), bspec(al.shape[1:]),
+                   bspec(Cl.shape[1:]), bspec(Ql.shape[1:]),
+                   bspec(actl.shape[1:])],
+        out_shape=out_shapes,
+        # alias state inputs onto outputs: halves the VMEM block footprint
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(prm, Xl, Yl, Vl, bvl, al, Cl, Ql, actl)
+
+    return SOGPState(
+        bv=_from_lanes(bv2, B), alpha=_from_lanes(a2, B),
+        C=_from_lanes(C2, B), Q=_from_lanes(Q2, B),
+        active=_from_lanes(act2, B) > 0.5)

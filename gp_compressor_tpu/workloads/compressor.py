@@ -56,14 +56,18 @@ def project(points: jnp.ndarray, colors: jnp.ndarray, valid: jnp.ndarray,
     return patches_mod.build_patches(points, colors, valid, cfg.patch)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
           key: jax.Array,
           depth_kp: Optional[RBFParams] = None,
-          rgb_kp: Optional[RBFParams] = None) -> CompressedCloud:
+          rgb_kp: Optional[RBFParams] = None,
+          use_pallas: bool = False) -> CompressedCloud:
     """train_processes equivalent (src/gp_compressor.cpp:121-175): feed each
     patch's claimed points into its depth GP and RGB field GP, with the
-    reference's shuffle-before-insert (src/sparse_gp.hpp:43-56)."""
+    reference's shuffle-before-insert (src/sparse_gp.hpp:43-56).
+
+    use_pallas=True routes the online updates through the fused
+    VMEM-resident kernel (pallas_kernels.sogp_train) — TPU only."""
     dkp, ckp = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
     rgb_kp = rgb_kp if rgb_kp is not None else ckp
@@ -74,14 +78,36 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
 
     dstates = sparse_gp.init_batch(cfg.depth_gp, B)
     cstates = sparse_gp.init_batch(cfg.rgb_gp, B)
-    dstates = sparse_gp.add_points_batch(
-        depth_kp, dnoise, cfg.depth_gp, dstates, batch.X, batch.y, batch.mask,
-        jax.random.split(kd, B))
-    cstates = sparse_gp.add_points_batch(
-        rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb, batch.mask,
-        jax.random.split(kc, B))
-    dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, cfg.depth_gp.s20)
-    cstates, _ = sparse_gp.sanitize_batch(cstates, rgb_kp, cfg.rgb_gp.s20)
+    if use_pallas:
+        from gp_compressor_tpu.pallas_kernels import sogp_train
+
+        # the kernel does not shuffle; apply the per-patch permutation here
+        P = batch.X.shape[1]
+        perm = jax.vmap(lambda k: jax.random.permutation(k, P))(
+            jax.random.split(kd, B))
+        take = lambda a: jnp.take_along_axis(
+            a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
+        Xs, ys, rs = take(batch.X), take(batch.y), take(batch.rgb)
+        ms = jnp.take_along_axis(batch.mask, perm, axis=1)
+        dstates = sogp_train.add_points_batch_pallas(
+            depth_kp, cfg.depth_gp, dstates, Xs, ys, ms)
+        cstates = sogp_train.add_points_batch_pallas(
+            rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms)
+    else:
+        dstates = sparse_gp.add_points_batch(
+            depth_kp, dnoise, cfg.depth_gp, dstates, batch.X, batch.y,
+            batch.mask, jax.random.split(kd, B))
+        cstates = sparse_gp.add_points_batch(
+            rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb,
+            batch.mask, jax.random.split(kc, B))
+    probes = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)
+    # health bounds ~10x beyond any legitimate posterior: depth lives
+    # within +-res of the patch plane, colors within +-255 of the mean
+    dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, cfg.depth_gp.s20,
+                                          max_pred=10.0 * cfg.patch.res,
+                                          probes=probes)
+    cstates, _ = sparse_gp.sanitize_batch(cstates, rgb_kp, cfg.rgb_gp.s20,
+                                          max_pred=2.5e3, probes=probes)
     return CompressedCloud(patch=batch, depth_gp=dstates, rgb_gp=cstates)
 
 
@@ -144,7 +170,8 @@ def reconstruction_rmse(comp: CompressedCloud, cfg: CompressorConfig,
     return jnp.sqrt(err2 / n)
 
 
-def compress(points, colors, valid, cfg: CompressorConfig, key) -> CompressedCloud:
+def compress(points, colors, valid, cfg: CompressorConfig, key,
+             use_pallas: bool = False) -> CompressedCloud:
     """Full save_compressed pipeline (src/gp_compressor.cpp:21-27)."""
     batch = project(points, colors, valid, cfg)
-    return train(batch, cfg, key)
+    return train(batch, cfg, key, use_pallas=use_pallas)

@@ -46,6 +46,7 @@ from gp_compressor_tpu.geometry import rotation, transforms, voxel
 from gp_compressor_tpu.geometry.voxel import VoxelGrid
 from gp_compressor_tpu.models import sparse_gp
 from gp_compressor_tpu.models.sparse_gp import SOGPState
+from gp_compressor_tpu.ops.kernels import RBFParams
 from gp_compressor_tpu.ops.noise import GaussianNoise
 from gp_compressor_tpu.workloads import registration
 from gp_compressor_tpu.workloads.compressor import default_params
@@ -507,6 +508,56 @@ def add_cloud(state: MapState, points, colors, valid, cfg: CompressorConfig,
     state = map_insert(state, pts, colors, valid, cfg, mcfg, key, min_nbr)
     info["n_patches"] = int(state.n_patches)
     return state, info
+
+
+def train_occupancy(state: MapState, cfg: CompressorConfig, key: jax.Array,
+                    occ_cfg=None):
+    """Train the probit occupancy channel — completing the reference's
+    unfinished feature: probit_noise is linked and the `free` mask is
+    collected (src/gp_compressor.h:15, gp_mapping::train_classification)
+    but no classification GP is ever instantiated upstream.
+
+    Per patch, every observed grid cell becomes a labelled example in the
+    (u, v) plane: hit cells (W & ~free) are occupied (+1), carved cells
+    (free) are empty (-1). A probit-noise sparse GP per patch then gives a
+    calibrated occupancy field queryable anywhere on the patch.
+    Returns the occupancy SOGPState bank.
+    """
+    import dataclasses as _dc
+
+    from gp_compressor_tpu.geometry import patches as patches_mod
+    from gp_compressor_tpu.ops.noise import ProbitNoise
+
+    B, G = state.W.shape
+    if occ_cfg is None:
+        occ_cfg = _dc.replace(cfg.depth_gp, dout=1, sigmaf_sq=1.0, s20=1.0,
+                              eps_tol=1e-3)
+    grid_uv = patches_mod.prediction_grid(cfg.patch, state.means.dtype)  # [G,2]
+    occupied = state.W & ~state.free
+    labelled = state.W | state.free
+    y = jnp.where(occupied, 1.0, -1.0).astype(state.means.dtype)[..., None]
+    X = jnp.broadcast_to(grid_uv, (B, G, 2))
+    mask = labelled & state.created[:, None]
+
+    kp = RBFParams(sigmaf_sq=jnp.asarray(occ_cfg.sigmaf_sq, state.means.dtype),
+                   l_sq=jnp.asarray(occ_cfg.l_sq, state.means.dtype))
+    noise = ProbitNoise(s20=jnp.asarray(occ_cfg.s20, state.means.dtype))
+    states = sparse_gp.init_batch(occ_cfg, B)
+    states = sparse_gp.add_points_batch(kp, noise, occ_cfg, states, X, y,
+                                        mask, jax.random.split(key, B))
+    states, _ = sparse_gp.sanitize_batch(states, kp, occ_cfg.s20)
+    return states
+
+
+def predict_occupancy(occ_states, cfg: CompressorConfig, Xstar,
+                      sigmaf_sq=1.0, l_sq=1.0, s20=1.0):
+    """Occupancy probability via the probit link on the latent mean:
+    P(occupied) = Phi(mu / sqrt(1 + var))."""
+    from jax.scipy.stats import norm
+
+    kp = RBFParams(sigmaf_sq=jnp.asarray(sigmaf_sq), l_sq=jnp.asarray(l_sq))
+    mean, var = sparse_gp.predict_batch(kp, s20, occ_states, Xstar)
+    return norm.cdf(mean[..., 0] / jnp.sqrt(1.0 + var))
 
 
 def map_cloud(state: MapState, cfg: CompressorConfig):

@@ -132,3 +132,27 @@ def test_map_cloud_prediction():
     w = np.asarray(w)[np.asarray(ok)]
     assert w.shape[0] > 500
     assert np.isfinite(w).all()
+
+
+def test_occupancy_channel():
+    """The probit occupancy GP (completed unfinished reference feature)
+    must separate occupied from carved-free cells."""
+    state = _fresh_map()
+    pts, cols, valid = _cloud(5000, 7)
+    state, _ = mapping.add_cloud(state, pts, cols, valid, CFG, MCFG,
+                                 jax.random.key(0))
+    occ = mapping.train_occupancy(state, CFG, jax.random.key(1))
+    import jax.numpy as jnp
+    from gp_compressor_tpu.geometry import patches as pm
+    grid_uv = pm.prediction_grid(CFG.patch, state.means.dtype)
+    B = state.W.shape[0]
+    p = np.asarray(mapping.predict_occupancy(
+        occ, CFG, jnp.broadcast_to(grid_uv, (B,) + grid_uv.shape)))
+    W = np.asarray(state.W)
+    free = np.asarray(state.free)
+    created = np.asarray(state.created)
+    hit = W & ~free & created[:, None]
+    carved = free & ~W & created[:, None]
+    if hit.sum() > 50 and carved.sum() > 50:
+        assert p[hit].mean() > p[carved].mean() + 0.1, (
+            p[hit].mean(), p[carved].mean())
