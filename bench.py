@@ -115,7 +115,8 @@ def main():
 
     cfg = CompressorConfig(
         patch=PatchConfig(res=RES, sz=SZ, max_patches=MAX_PATCHES,
-                          max_points_per_patch=MAX_PPP),
+                          max_points_per_patch=MAX_PPP,
+                          approx_sphere_moments=True),
         depth_gp=GPConfig(capacity=TPU_CAPACITY, slots=TPU_SLOTS,
                           eps_tol=TPU_EPS_TOL),
         rgb_gp=dataclasses.replace(
@@ -137,22 +138,28 @@ def main():
         out = compressor.decompress(comp, cfg)
         return comp, out
 
+    def sync(comp, out):
+        # force a real device round-trip: on the tunneled axon backend,
+        # block_until_ready alone does not guarantee execution finished
+        return (float(jnp.sum(out[0])) + float(jnp.sum(comp.depth_gp.C))
+                + float(jnp.sum(comp.rgb_gp.C)))
+
     # warmup / compile (fall back to the XLA scan path if the fused kernel
     # fails to compile on this backend)
     try:
         comp, out = pipeline(pts, cols, valid, key)
-        jax.block_until_ready(out)
+        sync(comp, out)
     except Exception:
         use_pallas = False
         comp, out = pipeline(pts, cols, valid, key)
-        jax.block_until_ready(out)
+        sync(comp, out)
     n_claimed = int(jnp.sum(comp.patch.mask))
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         comp, out = pipeline(pts, cols, valid, jax.random.key(i))
-        jax.block_until_ready(out)
+        sync(comp, out)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     tpu_pps = N_POINTS / dt

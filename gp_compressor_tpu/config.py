@@ -67,6 +67,12 @@ class PatchConfig:
     max_patches: int = 1024      # static bound on number of leaves
     max_points_per_patch: int = 512  # static bound on claimed points per leaf
     min_points_for_rotation: int = 4  # below: identity rotation (gp_compressor.cpp:31)
+    approx_sphere_moments: bool = False
+    # True: plane fits use all points of the 27-voxel neighbourhood instead
+    # of the exact radius-filtered sphere (src/gp_compressor.cpp:220) —
+    # one scatter-add over points plus a per-leaf neighbour gather instead
+    # of 27 scatter passes; ~10x faster front end on TPU with a slightly
+    # wider support for the (already statistical) plane fit.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,14 +95,57 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
     # keeps memory O(N).
     h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)        # [N,4]
     hh = h[:, :, None] * h[:, None, :]                                  # [N,4,4]
-    M = jnp.zeros((B, 4, 4), dt)
-    sphere_counts = jnp.zeros((B,), jnp.int32)
-    for off in offsets:
-        idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
-        seg = jnp.where(ok, idx, B)
-        M = M + jax.ops.segment_sum(hh, seg, num_segments=B + 1)[:B]
-        sphere_counts = sphere_counts + jax.ops.segment_sum(
-            ok.astype(jnp.int32), seg, num_segments=B + 1)[:B]
+    if cfg.approx_sphere_moments:
+        # Octant-resolution sphere approximation: ONE scatter accumulates
+        # per-(voxel, octant) moments; the radius filter becomes a static
+        # [27 offsets x 8 octants] inclusion table (octant center within
+        # sqrt(3)/2*res of the home voxel center). This keeps the plane-fit
+        # support within ~an octant of the exact search sphere while
+        # replacing 27 large scatter passes with one.
+        keys3 = voxel.point_keys(points, grid.origin, grid.res)
+        lin = voxel.linearize(keys3, grid.dims)
+        idx, exists = voxel.lookup(grid, lin)
+        frac = (points - grid.origin) / res - keys3.astype(dt)   # in [0,1)
+        oct_id = ((frac[:, 0] >= 0.5).astype(jnp.int32) * 4
+                  + (frac[:, 1] >= 0.5).astype(jnp.int32) * 2
+                  + (frac[:, 2] >= 0.5).astype(jnp.int32))
+        seg = jnp.where(exists & valid, idx * 8 + oct_id, B * 8)
+        Mv8 = jax.ops.segment_sum(hh.reshape(N, 16), seg,
+                                  num_segments=B * 8 + 1)[:B * 8]
+        Mv8 = Mv8.reshape(B, 8, 16)
+
+        # static inclusion table: octant o of neighbour at offset d is in
+        # the sphere iff |d + c_o| <= sqrt(3)/2 (res units), c_o = +-0.25
+        import numpy as _np
+        octc = _np.array([[(0.25 if b & 4 else -0.25),
+                           (0.25 if b & 2 else -0.25),
+                           (0.25 if b & 1 else -0.25)] for b in range(8)])
+        include = _np.zeros((27, 8), bool)
+        for ko, off in enumerate(offsets):
+            d = _np.asarray(off, float)[None, :] + octc
+            include[ko] = _np.linalg.norm(d, axis=1) <= voxel.SQRT3_2
+        leaf3 = voxel.delinearize(jnp.minimum(grid.keys, 2 ** 30), grid.dims)
+        M = jnp.zeros((B, 16), dt)
+        for ko, off in enumerate(offsets):
+            sel = include[ko]
+            if not sel.any():
+                continue
+            nb3 = leaf3 + jnp.asarray(off, jnp.int32)[None, :]
+            nb_lin = voxel.linearize(nb3, grid.dims)
+            nb_idx, nb_ok = voxel.lookup(grid, nb_lin)
+            part = jnp.sum(Mv8[:, jnp.asarray(_np.nonzero(sel)[0])], axis=1)
+            M = M + jnp.where(nb_ok[:, None], part[nb_idx], 0.0)
+        M = M.reshape(B, 4, 4)
+        sphere_counts = M[:, 3, 3].astype(jnp.int32)
+    else:
+        M = jnp.zeros((B, 4, 4), dt)
+        sphere_counts = jnp.zeros((B,), jnp.int32)
+        for off in offsets:
+            idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
+            seg = jnp.where(ok, idx, B)
+            M = M + jax.ops.segment_sum(hh, seg, num_segments=B + 1)[:B]
+            sphere_counts = sphere_counts + jax.ops.segment_sum(
+                ok.astype(jnp.int32), seg, num_segments=B + 1)[:B]
     R = rotation.rotation_from_moment_batch(M, sphere_counts,
                                             cfg.min_points_for_rotation)
 

@@ -148,3 +148,42 @@ def test_prediction_grid_layout():
     m = np.arange(16)
     x, y = m % 4, m // 4
     assert np.all(np.asarray(cell) == 4 * x + y)
+
+
+def test_approx_sphere_moments_close_to_exact():
+    """The fast neighbourhood-moment plane fits must agree with the exact
+    sphere-filtered fits on realistic surface data (normals within a few
+    degrees; claims nearly identical)."""
+    import dataclasses
+    pts, cols, valid = small_cloud(n=6000, seed=9)
+    exact = patches.build_patches(pts, cols, valid, CFG)
+    fast = patches.build_patches(
+        pts, cols, valid, dataclasses.replace(CFG, approx_sphere_moments=True))
+    n = int(exact.n_leaves)
+    ne = np.asarray(exact.rotations)[:n, :, 0]
+    nf = np.asarray(fast.rotations)[:n, :, 0]
+    active = np.asarray(exact.counts[:n]) > 10
+    cosang = np.abs((ne[active] * nf[active]).sum(-1))
+    # octant-level support differs from the exact sphere by boundary fuzz:
+    # typical normals agree to a few degrees; corner/degenerate voxels can
+    # flip (they are ambiguous under the exact fit too)
+    assert np.median(cosang) > 0.99, np.median(cosang)
+    assert (cosang > 0.95).mean() > 0.75, (cosang > 0.95).mean()
+    same_claim = (np.asarray(exact.claims) == np.asarray(fast.claims)).mean()
+    assert same_claim > 0.85, same_claim
+
+    # what matters downstream: reconstruction quality parity
+    import jax
+    from gp_compressor_tpu.config import CompressorConfig, GPConfig, rgb_gp_config
+    import jax.numpy as jnp
+    ccfg_e = CompressorConfig(
+        patch=CFG, depth_gp=GPConfig(capacity=40, slots=48, dtype=jnp.float64),
+        rgb_gp=rgb_gp_config(slots=48, capacity=40, dtype=jnp.float64))
+    ccfg_f = dataclasses.replace(
+        ccfg_e, patch=dataclasses.replace(CFG, approx_sphere_moments=True))
+    from gp_compressor_tpu.workloads import compressor
+    ce = compressor.compress(pts, cols, valid, ccfg_e, jax.random.key(0))
+    cf = compressor.compress(pts, cols, valid, ccfg_f, jax.random.key(0))
+    re = float(compressor.reconstruction_rmse(ce, ccfg_e))
+    rf = float(compressor.reconstruction_rmse(cf, ccfg_f))
+    assert rf < 1.3 * re + 5e-3, (re, rf)
