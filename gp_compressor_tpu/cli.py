@@ -161,6 +161,55 @@ def cmd_gp_accuracy(args):
     }))
 
 
+def cmd_calibrate(args):
+    """Bayesian hyperparameter calibration over the cloud's patch bank —
+    the working replacement for the reference's abandoned train_parameters
+    (src/sparse_gp.hpp:586-650). Prints HMC posterior means (or a MAP fit
+    with --map) for (sigma_f^2, l^2, s20)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gp_compressor_tpu.config import HMCConfig
+    from gp_compressor_tpu.inference import hmc
+    from gp_compressor_tpu.workloads import compressor
+
+    pts_np, cols_np = _load_cloud(args)
+    cfg = _gp_config(args)
+    batch = compressor.project(jnp.asarray(pts_np), jnp.asarray(cols_np),
+                               jnp.ones(len(pts_np), bool), cfg)
+    # subsample patches and points to keep the [B, n, n] Cholesky bank small
+    B = min(args.n_calib_patches, int(batch.n_leaves))
+    n = min(args.n_calib_points, batch.X.shape[1])
+    X = jnp.asarray(batch.X[:B, :n], jnp.float64)
+    y = jnp.asarray(batch.y[:B, :n, 0], jnp.float64)
+    mask = jnp.asarray(batch.mask[:B, :n], jnp.float64)
+    logpost = hmc.make_patch_logpost(X, y, mask)
+
+    theta0 = jnp.asarray([np.log(100.0), 0.0, np.log(0.1)])
+    if args.map:
+        theta, trace = hmc.map_estimate(logpost, theta0, steps=args.steps)
+        est = np.exp(np.asarray(theta))
+        print(json.dumps({"method": "map", "sigmaf_sq": est[0],
+                          "l_sq": est[1], "s20": est[2],
+                          "logpost": float(trace[-1])}))
+    else:
+        hcfg = HMCConfig(num_warmup=args.steps, num_samples=args.steps,
+                         num_chains=2)
+        t0 = jnp.stack([theta0, theta0 + 0.5])
+        samples, acc, _ = hmc.hmc_sample_chains(logpost, t0,
+                                                jax.random.key(args.seed), hcfg)
+        s = np.asarray(samples).reshape(-1, 3)
+        rhat = np.asarray(hmc.split_rhat(jnp.asarray(samples)))
+        print(json.dumps({
+            "method": "hmc", "accept": float(np.asarray(acc).mean()),
+            "sigmaf_sq": float(np.exp(s[:, 0]).mean()),
+            "l_sq": float(np.exp(s[:, 1]).mean()),
+            "s20": float(np.exp(s[:, 2]).mean()),
+            "rhat": rhat.round(3).tolist(),
+        }))
+
+
 def cmd_gp_mapping(args):
     """test_gp_mapping_no_vis equivalent (src/test_gp_mapping_no_vis.cpp):
     feed a sequence of scans, save the map cloud periodically."""
@@ -235,6 +284,14 @@ def main(argv=None):
     sp.add_argument("--trans-mag", type=float, default=0.02)
     sp.add_argument("--rot-mag", type=float, default=0.005)
     sp.set_defaults(fn=cmd_gp_accuracy)
+
+    sp = sub.add_parser("calibrate", help="Bayesian hyperparameter calibration")
+    common(sp, res=0.3, sz=10)
+    sp.add_argument("--map", action="store_true", help="MAP fit instead of HMC")
+    sp.add_argument("--steps", type=int, default=150)
+    sp.add_argument("--n-calib-patches", type=int, default=32)
+    sp.add_argument("--n-calib-points", type=int, default=64)
+    sp.set_defaults(fn=cmd_calibrate)
 
     sp = sub.add_parser("gp-mapping", help="incremental mapping demo")
     common(sp, res=0.2, sz=15)

@@ -75,6 +75,32 @@ def make_patch_logpost(X: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
     return logpost
 
 
+def map_estimate(logpost: Callable, theta0: jnp.ndarray, steps: int = 200,
+                 lr: float = 5e-2):
+    """Type-II maximum-a-posteriori hyperparameter fit by gradient ascent on
+    the same patch-bank log posterior — the working replacement for the
+    reference's abandoned train_parameters gradient loop
+    (src/sparse_gp.hpp:586-650, which plots with octave and exit(0)s).
+    Returns (theta, logpost trace)."""
+    import optax
+
+    opt = optax.adam(lr)
+    state = opt.init(theta0)
+
+    @jax.jit
+    def step(theta, state):
+        lp, g = jax.value_and_grad(logpost)(theta)
+        updates, state = opt.update(jax.tree.map(lambda x: -x, g), state)
+        return jax.tree.map(lambda a, b: a + b, theta, updates), state, lp
+
+    trace = []
+    theta = theta0
+    for _ in range(steps):
+        theta, state, lp = step(theta, state)
+        trace.append(lp)
+    return theta, jnp.stack(trace)
+
+
 # ---------------------------------------------------------------------------
 # HMC with dual-averaging warmup
 # ---------------------------------------------------------------------------

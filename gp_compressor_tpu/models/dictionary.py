@@ -114,6 +114,40 @@ def omp_encode(D: jnp.ndarray, S: jnp.ndarray, W: jnp.ndarray,
     return OMPCode(X=X, I=I, nw=nw)
 
 
+def mp_encode(D: jnp.ndarray, S: jnp.ndarray, W: jnp.ndarray,
+              valid: jnp.ndarray, cfg: KSVDConfig) -> OMPCode:
+    """Plain matching pursuit (no coefficient re-solve) — the reference's
+    mp_match_vector variant (src/orthogonal_matching_pursuit.cpp:99-127):
+    each step takes the greedy atom with its raw correlation coefficient
+    and subtracts its masked contribution from the residual."""
+    n, l = S.shape
+    K = D.shape[1]
+    kmax = cfg.words_max
+    dt = S.dtype
+    Sm = S * W
+
+    def step(carry, k):
+        r, used, I, X, nw = carry
+        active = (jnp.sum(r * r, axis=1) >= cfg.proj_error) & valid
+        w = r @ D
+        w = jnp.where(used | ~jnp.isfinite(w), 0.0, w)
+        ind = jnp.argmax(jnp.abs(w), axis=1).astype(jnp.int32)
+        coef = jnp.take_along_axis(w, ind[:, None], axis=1)[:, 0]
+        used = used | ((jax.nn.one_hot(ind, K, dtype=jnp.int32) > 0)
+                       & active[:, None])
+        I = I.at[:, k].set(jnp.where(active, ind, I[:, k]))
+        X = X.at[:, k].set(jnp.where(active, coef, X[:, k]))
+        d_sel = D.T[ind] * W                                   # masked atom
+        r = jnp.where(active[:, None], r - coef[:, None] * d_sel, r)
+        nw = nw + active.astype(jnp.int32)
+        return (r, used, I, X, nw), None
+
+    carry = (Sm, jnp.zeros((n, K), bool), jnp.zeros((n, kmax), jnp.int32),
+             jnp.zeros((n, kmax), dt), jnp.zeros((n,), jnp.int32))
+    (r, used, I, X, nw), _ = lax.scan(step, carry, jnp.arange(kmax))
+    return OMPCode(X=X, I=I, nw=nw)
+
+
 def reconstruct(D: jnp.ndarray, code: OMPCode) -> jnp.ndarray:
     """S_rec[n, l] = sum_k X[n,k] D[:, I[n,k]] over the used words."""
     kmax = code.X.shape[1]
