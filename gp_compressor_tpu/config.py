@@ -67,6 +67,9 @@ class PatchConfig:
     max_patches: int = 1024      # static bound on number of leaves
     max_points_per_patch: int = 512  # static bound on claimed points per leaf
     min_points_for_rotation: int = 4  # below: identity rotation (gp_compressor.cpp:31)
+    max_cells: int = 1 << 20
+    # static budget for the dense voxel-key -> leaf lookup table (O(1)
+    # gathers instead of searchsorted); 0 disables it
     approx_sphere_moments: bool = False
     # True: plane fits use all points of the 27-voxel neighbourhood instead
     # of the exact radius-filtered sphere (src/gp_compressor.cpp:220) —

@@ -85,7 +85,7 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
     N = points.shape[0]
     res = jnp.asarray(cfg.res, dt)
 
-    grid = voxel.build_grid(points, valid, cfg.res, B)
+    grid = voxel.build_grid(points, valid, cfg.res, B, cfg.max_cells)
     offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                for dz in (-1, 0, 1)]
 

@@ -19,7 +19,7 @@ All functions are shape-static and jit-safe.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,9 @@ class VoxelGrid(NamedTuple):
     origin:    [3] grid origin (min corner)
     dims:      [3] int32 grid extents
     res:       scalar voxel edge
+    table:     optional [max_cells] dense linear-key -> leaf-index map
+               (-1 = none); replaces O(log B) searchsorted lookups with
+               O(1) gathers when the world fits the static cell budget
     """
 
     keys: jnp.ndarray
@@ -48,6 +51,7 @@ class VoxelGrid(NamedTuple):
     origin: jnp.ndarray
     dims: jnp.ndarray
     res: jnp.ndarray
+    table: Optional[jnp.ndarray] = None
 
 
 _FILL = jnp.iinfo(jnp.int32).max
@@ -74,24 +78,38 @@ def delinearize(lin: jnp.ndarray, dims: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_grid(points: jnp.ndarray, valid: jnp.ndarray, res,
-               max_patches: int) -> VoxelGrid:
-    """Construct the leaf table. points: [N, 3], valid: [N] bool."""
+               max_patches: int, max_cells: int = 0) -> VoxelGrid:
+    """Construct the leaf table. points: [N, 3], valid: [N] bool.
+    max_cells > 0 additionally builds the dense lookup table (cells
+    outside the budget fall back to searchsorted)."""
     big = jnp.asarray(jnp.finfo(points.dtype).max, points.dtype)
     p_lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
     p_hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
-    # tiny epsilon so max-corner points land inside the last voxel
     dims = jnp.maximum(
         jnp.floor((p_hi - p_lo) / res).astype(jnp.int32) + 1, 1)
     keys3 = point_keys(points, p_lo, res)
     lin = jnp.where(valid, linearize(keys3, dims), _FILL)
     uniq = jnp.unique(lin, size=max_patches, fill_value=_FILL)
     n = jnp.sum(uniq != _FILL).astype(jnp.int32)
+    table = None
+    if max_cells > 0:
+        real = uniq != _FILL
+        tgt = jnp.where(real & (uniq < max_cells), uniq, max_cells)
+        table = jnp.full((max_cells,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(max_patches, dtype=jnp.int32), mode='drop')
     return VoxelGrid(keys=uniq, n_leaves=n, origin=p_lo, dims=dims,
-                     res=jnp.asarray(res, points.dtype))
+                     res=jnp.asarray(res, points.dtype), table=table)
 
 
 def lookup(grid: VoxelGrid, lin: jnp.ndarray):
     """Linear keys -> (leaf index a.k.a. gp_index, exists mask)."""
+    if grid.table is not None:
+        nc = grid.table.shape[0]
+        safe = jnp.clip(lin, 0, nc - 1)
+        idx = grid.table[safe]
+        in_table = (lin >= 0) & (lin < nc) & (lin != _FILL)
+        exists = in_table & (idx >= 0)
+        return jnp.where(exists, idx, 0).astype(jnp.int32), exists
     idx = jnp.searchsorted(grid.keys, lin)
     idx = jnp.minimum(idx, grid.keys.shape[0] - 1)
     exists = (grid.keys[idx] == lin) & (lin != _FILL)

@@ -1,0 +1,215 @@
+"""No-U-Turn Sampler over GP hyperparameters.
+
+Dynamic-trajectory HMC (Hoffman & Gelman 2014) with multinomial progressive
+sampling and biased trajectory selection (Betancourt 2017), dual-averaging
+step-size warmup shared with inference.hmc.
+
+Implementation note: hyperparameter spaces here are tiny (dim = 3), so the
+trajectory stores *every* leapfrog state in a [2^max_depth, dim] buffer and
+performs the sub-tree U-turn checks by direct indexing — far simpler than
+the checkpoint-stack formulation and free at this dimensionality. The whole
+sampler jits; chains `vmap` and shard over the mesh `chain` axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gp_compressor_tpu.config import HMCConfig
+
+
+class _Z(NamedTuple):
+    theta: jnp.ndarray
+    p: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+
+    def energy(self, inv_mass):
+        return self.logp - 0.5 * jnp.sum(inv_mass * self.p * self.p)
+
+
+def _leapfrog(lg, z: _Z, eps, inv_mass) -> _Z:
+    p = z.p + 0.5 * eps * z.grad
+    theta = z.theta + eps * inv_mass * p
+    logp, grad = lg(theta)
+    p = p + 0.5 * eps * grad
+    return _Z(theta, p, logp, grad)
+
+
+def _uturn(theta_m, p_m, theta_p, p_p, inv_mass):
+    d = theta_p - theta_m
+    return (jnp.sum(d * (inv_mass * p_m)) < 0.0) | \
+           (jnp.sum(d * (inv_mass * p_p)) < 0.0)
+
+
+def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
+              max_depth: int = 8):
+    """One NUTS transition. Returns (theta, accept_stat, n_leapfrog)."""
+    lg = jax.value_and_grad(logpost)
+    dim = theta0.shape[0]
+    Lmax = 1 << max_depth
+
+    kp, key = jax.random.split(key)
+    p0 = jax.random.normal(kp, (dim,)) / jnp.sqrt(inv_mass)
+    logp0, grad0 = lg(theta0)
+    z0 = _Z(theta0, p0, logp0, grad0)
+    H0 = z0.energy(inv_mass)
+
+    # trajectory state
+    class Carry(NamedTuple):
+        z_minus: _Z
+        z_plus: _Z
+        z_sample: _Z
+        log_w_total: jnp.ndarray   # log sum of subtree weights so far
+        turning: jnp.ndarray
+        diverged: jnp.ndarray
+        sum_acc: jnp.ndarray       # accept-stat accumulator
+        n_lf: jnp.ndarray
+        key: jax.Array
+
+    carry = Carry(z0, z0, z0, jnp.asarray(0.0), jnp.asarray(False),
+                  jnp.asarray(False), jnp.asarray(0.0),
+                  jnp.asarray(0, jnp.int32), key)
+
+    # buffers for the current subtree's states
+    def build_and_merge(carry: Carry, depth: int):
+        n = 1 << depth
+        kdir, ksel, kin, knext = jax.random.split(carry.key, 4)
+        go_right = jax.random.bernoulli(kdir)
+        z_start = jax.tree.map(
+            lambda a, b: jnp.where(go_right, a, b), carry.z_plus,
+            carry.z_minus)
+        step_eps = jnp.where(go_right, eps, -eps)
+        dirsign = jnp.where(go_right, 1.0, -1.0)
+
+        thetas0 = jnp.zeros((n, dim))
+        ps0 = jnp.zeros((n, dim))
+
+        def leaf(i, st):
+            (z, thetas, ps, log_w, z_prop, turning, diverged, sum_acc,
+             rng) = st
+            z = _leapfrog(lg, z, step_eps, inv_mass)
+            h = z.energy(inv_mass)
+            dh = h - H0
+            div = dh < -1000.0
+            lw = jnp.where(jnp.isfinite(dh), dh, -jnp.inf)
+            # progressive multinomial sampling within the subtree
+            log_w_new = jnp.logaddexp(log_w, lw)
+            rng, ks = jax.random.split(rng)
+            take = jnp.log(jax.random.uniform(ks)) < (lw - log_w_new)
+            z_prop = jax.tree.map(
+                lambda a, b: jnp.where(take, a, b), z, z_prop)
+            sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(dh))
+            thetas = thetas.at[i].set(z.theta)
+            ps = ps.at[i].set(z.p)
+
+            # sub-U-turn checks: leaf i closes blocks of size 2^k whenever
+            # (i+1) % 2^k == 0; compare against the block's first leaf
+            def check(k, t):
+                blk = 1 << k
+                closes = ((i + 1) % blk) == 0
+                first = i + 1 - blk
+                th_f = thetas[jnp.maximum(first, 0)]
+                p_f = ps[jnp.maximum(first, 0)]
+                # the U-turn displacement must be in TIME order: for a
+                # backward subtree the first-integrated leaf is the latest
+                # in time, so the sign flips with the direction
+                d = (z.theta - th_f) * dirsign
+                ut = (jnp.sum(d * (inv_mass * p_f)) < 0.0) | \
+                     (jnp.sum(d * (inv_mass * z.p)) < 0.0)
+                return t | (closes & ut)
+
+            turning = lax.fori_loop(1, depth + 1, check, turning) \
+                if depth > 0 else turning
+            diverged = diverged | div
+            return (z, thetas, ps, log_w_new, z_prop, turning, diverged,
+                    sum_acc, rng)
+
+        st0 = (z_start, thetas0, ps0, jnp.asarray(-jnp.inf), z_start,
+               jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0), kin)
+        (z_end, thetas, ps, log_w_sub, z_prop, sub_turning, diverged,
+         sum_acc_sub, _) = lax.fori_loop(0, n, leaf, st0)
+
+        # biased trajectory sampling between old trajectory and new subtree
+        accept_sub = jnp.log(jax.random.uniform(ksel)) < \
+            (log_w_sub - carry.log_w_total)
+        ok = ~(sub_turning | diverged)
+        z_sample = jax.tree.map(
+            lambda a, b: jnp.where(accept_sub & ok, a, b), z_prop,
+            carry.z_sample)
+        log_w_total = jnp.where(ok, jnp.logaddexp(carry.log_w_total,
+                                                  log_w_sub),
+                                carry.log_w_total)
+
+        z_minus = jax.tree.map(lambda a, b: jnp.where(go_right | ~ok, a, b),
+                               carry.z_minus, z_end)
+        z_plus = jax.tree.map(lambda a, b: jnp.where(go_right & ok, a, b),
+                              z_end, carry.z_plus)
+        whole_turn = _uturn(z_minus.theta, z_minus.p, z_plus.theta,
+                            z_plus.p, inv_mass)
+        turning = carry.turning | sub_turning | whole_turn | diverged
+        return Carry(z_minus, z_plus, z_sample, log_w_total, turning,
+                     carry.diverged | diverged,
+                     carry.sum_acc + sum_acc_sub,
+                     carry.n_lf + n, knext)
+
+    for depth in range(max_depth):
+        new = build_and_merge(carry, depth)
+        carry = jax.tree.map(
+            lambda a, b: jnp.where(carry.turning, b, a), new, carry)
+
+    acc_stat = carry.sum_acc / jnp.maximum(carry.n_lf, 1)
+    return carry.z_sample.theta, acc_stat, carry.n_lf
+
+
+def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
+                           key: jax.Array, cfg: HMCConfig):
+    """Dual-averaging warmup then sampling, single chain.
+    Returns (samples [num_samples, dim], mean accept-stat, step size)."""
+    dim = theta0.shape[0]
+    inv_mass = jnp.ones(dim)
+    eps0 = jnp.asarray(cfg.init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    mu = jnp.log(10.0 * eps0)
+
+    def warm_body(m, carry):
+        theta, eps, h_bar, log_eps_bar, key = carry
+        key, sub = jax.random.split(key)
+        theta, acc, _ = nuts_step(logpost, theta, sub, eps, inv_mass,
+                                  cfg.max_tree_depth)
+        mf = m.astype(jnp.float32) + 1.0
+        eta = 1.0 / (mf + t0)
+        h_bar = (1.0 - eta) * h_bar + eta * (cfg.target_accept - acc)
+        log_eps = mu - jnp.sqrt(mf) / gamma * h_bar
+        w = mf ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return theta, jnp.exp(log_eps), h_bar, log_eps_bar, key
+
+    key, kw = jax.random.split(key)
+    theta, eps, _, log_eps_bar, _ = lax.fori_loop(
+        0, cfg.num_warmup, warm_body,
+        (theta0, eps0, jnp.asarray(0.0), jnp.asarray(0.0), kw))
+    eps = jnp.exp(log_eps_bar)
+
+    def sample_body(carry, k):
+        theta = carry
+        theta, acc, nlf = nuts_step(logpost, theta, k, eps, inv_mass,
+                                    cfg.max_tree_depth)
+        return theta, (theta, acc, nlf)
+
+    keys = jax.random.split(key, cfg.num_samples)
+    _, (samples, accs, nlfs) = lax.scan(sample_body, theta, keys)
+    return samples, jnp.mean(accs), eps
+
+
+def nuts_sample_chains(logpost: Callable, theta0: jnp.ndarray,
+                       key: jax.Array, cfg: HMCConfig):
+    """theta0: [C, dim] -> samples [C, num_samples, dim]; chains vmap and
+    shard over the mesh chain axis."""
+    keys = jax.random.split(key, theta0.shape[0])
+    f = jax.vmap(lambda t0, k: nuts_warmup_and_sample(logpost, t0, k, cfg))
+    return f(theta0, keys)

@@ -127,3 +127,26 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(st, back):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert checkpoint.load_meta(path)["kind"] == "sogp"
+
+
+def test_nuts_samples_gaussian():
+    from gp_compressor_tpu.inference import nuts
+
+    cov = jnp.asarray([[1.0, 0.7], [0.7, 2.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logpost(th):
+        return -0.5 * th @ prec @ th
+
+    cfg = HMCConfig(num_warmup=150, num_samples=400, max_tree_depth=6)
+    theta0 = jax.random.normal(jax.random.key(3), (4, 2))
+    samples, acc, eps = jax.jit(
+        lambda t0, k: nuts.nuts_sample_chains(logpost, t0, k, cfg))(
+            theta0, jax.random.key(4))
+    s = np.asarray(samples).reshape(-1, 2)
+    assert float(jnp.mean(acc)) > 0.5, float(jnp.mean(acc))
+    assert np.abs(s.mean(0)).max() < 0.2, s.mean(0)
+    emp = np.cov(s.T)
+    assert np.abs(emp - np.asarray(cov)).max() < 0.4, emp
+    rh = hmc.split_rhat(jnp.asarray(samples))
+    assert np.all(np.asarray(rh) < 1.1), rh
