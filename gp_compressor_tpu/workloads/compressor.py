@@ -15,6 +15,7 @@ patches at once. The patch axis is shardable over a mesh (parallel.mesh).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -175,3 +176,54 @@ def compress(points, colors, valid, cfg: CompressorConfig, key,
     """Full save_compressed pipeline (src/gp_compressor.cpp:21-27)."""
     batch = project(points, colors, valid, cfg)
     return train(batch, cfg, key, use_pallas=use_pallas)
+
+
+def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
+                        use_pallas: bool = False, method: str = "map",
+                        calib_patches: int = 32, calib_points: int = 64,
+                        calib_steps: int = 150):
+    """Compress with Bayesian-calibrated depth hyperparameters — the
+    north-star configuration (BASELINE.json: "compress+decompress with
+    HMC-calibrated hyperparameters"). The reference carries hard-coded
+    constants everywhere (src/rbf_kernel.h:24, src/sparse_gp.h:48).
+
+    Runs MAP (default, deterministic) or 2-chain HMC over the exact-GP
+    marginal likelihood of a patch-bank subsample, then trains the sparse
+    GPs with the calibrated (sigma_f^2, l^2, s20).
+    Returns (CompressedCloud, depth RBFParams, calibrated s20).
+    """
+    import numpy as np
+
+    from gp_compressor_tpu.config import HMCConfig
+    from gp_compressor_tpu.inference import hmc
+
+    batch = project(points, colors, valid, cfg)
+    B = min(calib_patches, batch.X.shape[0])
+    n = min(calib_points, batch.X.shape[1])
+    logpost = hmc.make_patch_logpost(
+        jnp.asarray(batch.X[:B, :n], jnp.float64),
+        jnp.asarray(batch.y[:B, :n, 0], jnp.float64),
+        jnp.asarray(batch.mask[:B, :n], jnp.float64))
+    theta0 = jnp.asarray([np.log(cfg.depth_gp.sigmaf_sq),
+                          np.log(cfg.depth_gp.l_sq),
+                          np.log(cfg.depth_gp.s20)])
+    if method == "hmc":
+        hcfg = HMCConfig(num_warmup=calib_steps, num_samples=calib_steps,
+                         num_chains=2)
+        kcal, key = jax.random.split(key)
+        samples, _, _ = hmc.hmc_sample_chains(
+            logpost, jnp.stack([theta0, theta0 + 0.3]), kcal, hcfg)
+        theta = jnp.mean(samples.reshape(-1, 3), axis=0)
+    else:
+        theta, _ = hmc.map_estimate(logpost, theta0, steps=calib_steps)
+    sf, l2, s20 = jnp.exp(theta)
+
+    dt = batch.X.dtype
+    depth_kp = RBFParams(sigmaf_sq=jnp.asarray(sf, dt),
+                         l_sq=jnp.asarray(l2, dt))
+    # keep the noise in the config scale the trainers read
+    cal_cfg = dataclasses.replace(cfg, depth_gp=dataclasses.replace(
+        cfg.depth_gp, sigmaf_sq=float(sf), l_sq=float(l2), s20=float(s20)))
+    comp = train(batch, cal_cfg, key, depth_kp=depth_kp,
+                 use_pallas=use_pallas)
+    return comp, depth_kp, float(s20), cal_cfg

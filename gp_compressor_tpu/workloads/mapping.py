@@ -84,9 +84,20 @@ class MapState(NamedTuple):
     t_cloud: jnp.ndarray       # [3]
 
     def grid(self, res) -> VoxelGrid:
+        # dense sorted-slot table: O(1) candidate lookups for claims
+        # (key_to_leaf maps to gp_index; claims need KEY-ORDER priority,
+        # so the table maps to the sorted slot instead)
+        nc = self.key_to_leaf.shape[0]
+        fill = jnp.iinfo(jnp.int32).max
+        tgt = jnp.where(self.leaf_keys != fill,
+                        jnp.minimum(self.leaf_keys, nc - 1), nc)
+        table = jnp.full((nc,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(self.leaf_keys.shape[0], dtype=jnp.int32),
+            mode='drop')
         return VoxelGrid(keys=self.leaf_keys, n_leaves=self.n_patches,
                          origin=self.origin, dims=self.dims,
-                         res=jnp.asarray(res, self.origin.dtype))
+                         res=jnp.asarray(res, self.origin.dtype),
+                         table=table)
 
 
 def map_init(cfg: CompressorConfig, mcfg: MappingConfig,
@@ -181,8 +192,13 @@ def map_insert(state: MapState, points, colors, valid,
     leaf_keys = all_keys[order][:B]
     leaf_ids = all_ids[order][:B].astype(jnp.int32)
 
+    nc = state.key_to_leaf.shape[0]
+    tgt_tbl = jnp.where(leaf_keys != fill, jnp.minimum(leaf_keys, nc - 1), nc)
+    slot_table = jnp.full((nc,), -1, jnp.int32).at[tgt_tbl].set(
+        jnp.arange(B, dtype=jnp.int32), mode='drop')
     grid = VoxelGrid(keys=leaf_keys, n_leaves=n_patches,
-                     origin=state.origin, dims=state.dims, res=res)
+                     origin=state.origin, dims=state.dims, res=res,
+                     table=slot_table)
 
     # ---- 2. sphere stats for would-be-new patches (plane fits from the
     # CURRENT scan's sphere points, as the reference does
@@ -558,6 +574,83 @@ def predict_occupancy(occ_states, cfg: CompressorConfig, Xstar,
     kp = RBFParams(sigmaf_sq=jnp.asarray(sigmaf_sq), l_sq=jnp.asarray(l_sq))
     mean, var = sparse_gp.predict_batch(kp, s20, occ_states, Xstar)
     return norm.cdf(mean[..., 0] / jnp.sqrt(1.0 + var))
+
+
+def smc_refine_pose(state: MapState, points, colors, valid,
+                    cfg: CompressorConfig, smc_cfg, key: jax.Array,
+                    n_iters: int = 8, n_eval_points: int = 2048):
+    """SMC refinement of a scan pose against the map — the north-star
+    capability layered over gradient registration (BASELINE.json config 5).
+
+    A particle population over 6-DoF pose perturbations is weighted by the
+    mean GP log-density of a subsampled scan under each hypothesized pose;
+    systematic resampling + random-walk jitter concentrate the population.
+    Returns (refined (R, t) delta, particle state, mean log-lik trace).
+    The particle axis is a vmap (shardable over the mesh `chain` axis).
+    """
+    from gp_compressor_tpu.inference import smc as smc_mod
+
+    comp = _map_as_compressed(state, cfg)
+    dkp, _ = default_params(cfg)
+    dt = points.dtype
+
+    # subsample the scan for the likelihood evaluations
+    N = points.shape[0]
+    sel = jnp.linspace(0, N - 1, min(n_eval_points, N)).astype(jnp.int32)
+    pts_s = points[sel]
+    val_s = valid[sel]
+
+    # precompute the map's grid predictions ONCE; each particle then scores
+    # points against its claimed patch's nearest grid cell — O(1) per
+    # (point, particle) instead of a per-point [slots, slots] state gather
+    from gp_compressor_tpu.geometry import patches as patches_mod
+
+    B = comp.patch.rotations.shape[0]
+    G = cfg.patch.sz ** 2
+    grid_uv = patches_mod.prediction_grid(cfg.patch, dt)
+    dmean, dvar = sparse_gp.predict_batch(
+        dkp, cfg.depth_gp.s20, comp.depth_gp,
+        jnp.broadcast_to(grid_uv, (B, G, 2)))          # [B,G,1], [B,G]
+    dmean = dmean[..., 0]
+    trained = sparse_gp.size(comp.depth_gp) > 0
+
+    def pose_loglik(poses):
+        R, t = smc_mod.pose_matrices(poses)
+
+        def one(Rp, tp):
+            moved = pts_s @ Rp.T + tp
+            claim, loc, claimed = registration.claim_to_patches(
+                comp.patch.grid, comp.patch.rotations, comp.patch.means,
+                trained, moved, val_s, cfg.patch.res)
+            gidx = jnp.where(claimed, claim, 0)
+            cell = patches_mod.grid_cell(loc[:, 1:],
+                                         jnp.asarray(cfg.patch.res, dt),
+                                         cfg.patch.sz)
+            mu = dmean[gidx, cell]
+            var = dvar[gidx, cell]
+            ll = -0.5 * jnp.log(2 * jnp.pi * var) \
+                - 0.5 * (loc[:, 0] - mu) ** 2 / var
+            # joint scan likelihood with an OUTLIER FLOOR for unclaimed
+            # points: without it the sharpest way to raise the likelihood
+            # is to shove poorly-fit points out of claim range entirely
+            # (a bias the reference's claimed-only mean also has,
+            # src/gp_registration.cpp:214). The floor is the log density
+            # of a ~3-sigma prior outlier.
+            floor = -0.5 * jnp.log(2 * jnp.pi * (dkp.sigmaf_sq
+                                                 + cfg.depth_gp.s20)) - 4.5
+            return jnp.sum(jnp.where(claimed & val_s, ll, floor))
+
+        return jax.vmap(one)(R, t)
+
+    st = smc_mod.init_particles(smc_cfg, key, dtype=dt)
+    trace = []
+    mean_pose = jnp.zeros(6, dt)
+    for i in range(n_iters):
+        key = jax.random.fold_in(key, i)
+        st, mean_pose = smc_mod.smc_step(st, pose_loglik, smc_cfg, key)
+        trace.append(jnp.max(st.log_weights))
+    R, t = smc_mod.pose_matrices(mean_pose[None])
+    return (R[0], t[0]), st, jnp.stack(trace)
 
 
 def map_cloud(state: MapState, cfg: CompressorConfig):

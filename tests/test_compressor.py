@@ -90,3 +90,67 @@ def test_empty_patches_emit_nothing():
     # padding patches beyond n_leaves must be fully masked out
     n = int(comp.patch.n_leaves)
     assert not ok[n:].any()
+
+
+def test_compress_calibrated_improves_heldout_loglik():
+    """MAP-calibrated hyperparameters must improve the held-out predictive
+    log-likelihood over the reference's fixed constants (in-sample RMSE is
+    NOT the criterion — calibration learns honest noise, which smooths)."""
+    from gp_compressor_tpu.models import sparse_gp
+    from gp_compressor_tpu.workloads import compressor as C
+
+    pts, cols = synthetic.room_cloud(n=9000, seed=11)
+    ptsj = jnp.asarray(pts, jnp.float64)
+    colsj = jnp.asarray(cols, jnp.float64)
+    valid = jnp.ones(pts.shape[0], bool)
+    batch = C.project(ptsj, colsj, valid, CFG)
+    P = batch.mask.shape[1]
+    hold = (jnp.arange(P) % 4) == 0
+    m_train = batch.mask & ~hold[None, :]
+    m_test = batch.mask & hold[None, :]
+    tb = batch._replace(mask=m_train)
+
+    def heldout_ll(comp, cfg, kp):
+        dkp, _ = C.default_params(cfg)
+        kp = kp if kp is not None else dkp
+        ll = jax.vmap(lambda st, x, y, m: jnp.where(
+            m, sparse_gp.log_likelihood(kp, cfg.depth_gp.s20, st, x, y),
+            0.0))(comp.depth_gp, batch.X, batch.y, m_test)
+        return float(jnp.sum(ll) / jnp.maximum(jnp.sum(m_test), 1))
+
+    base = C.train(tb, CFG, jax.random.key(0))
+    ll_base = heldout_ll(base, CFG, None)
+
+    comp, kp, s20, cal_cfg = C.compress_calibrated(
+        ptsj, colsj, valid, CFG, jax.random.key(0), calib_steps=150)
+    # retrain on the same held-out split with calibrated params
+    cal = C.train(tb, cal_cfg, jax.random.key(0), depth_kp=kp)
+    ll_cal = heldout_ll(cal, cal_cfg, kp)
+    assert np.isfinite(ll_cal)
+    assert ll_cal > ll_base, (ll_base, ll_cal)
+
+
+def test_smc_refine_pose_improves_offset():
+    from gp_compressor_tpu.config import MappingConfig, SMCConfig
+    from gp_compressor_tpu.workloads import mapping
+
+    pts, cols = synthetic.room_cloud(n=6000, seed=12)
+    half = len(pts) // 2
+    state = mapping.map_init(CFG, MappingConfig(), [-1, -1, -1], [4, 4, 4],
+                             dtype=jnp.float64)
+    state, _ = mapping.add_cloud(state, jnp.asarray(pts[:half], jnp.float64),
+                                 jnp.asarray(cols[:half], jnp.float64),
+                                 jnp.ones(half, bool), CFG, MappingConfig(),
+                                 jax.random.key(0))
+    offset = np.array([0.015, -0.01, 0.012])
+    scan = jnp.asarray(pts[half:] + offset, jnp.float64)
+    smc_cfg = SMCConfig(num_particles=128, pose_proposal_std_t=0.006,
+                        pose_proposal_std_r=0.002)
+    (R, t), st, trace = mapping.smc_refine_pose(
+        state, scan, jnp.asarray(cols[half:], jnp.float64),
+        jnp.ones(scan.shape[0], bool), CFG, smc_cfg, jax.random.key(1),
+        n_iters=10)
+    moved = np.asarray(scan @ np.asarray(R).T + np.asarray(t))
+    err0 = np.linalg.norm(offset)
+    err1 = np.linalg.norm(moved - pts[half:], axis=1).mean()
+    assert err1 < err0, (err0, err1)
