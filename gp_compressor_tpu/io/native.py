@@ -41,7 +41,18 @@ def _load():
         lib.gpio_pcd_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_long,
                                        ctypes.c_int]
-        for fn in (lib.gpio_pcd_info, lib.gpio_pcd_read, lib.gpio_pcd_write):
+        lib.gpio_dict_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                        ctypes.c_long, ctypes.c_long]
+        lib.gpio_dict_info.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_long),
+                                       ctypes.POINTER(ctypes.c_long)]
+        lib.gpio_dict_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.gpio_pccode_write.argtypes = [
+            ctypes.c_char_p] + [ctypes.c_int32] * 6 + [ctypes.c_float] + \
+            [ctypes.c_void_p] * 9
+        for fn in (lib.gpio_pcd_info, lib.gpio_pcd_read, lib.gpio_pcd_write,
+                   lib.gpio_dict_write, lib.gpio_dict_info,
+                   lib.gpio_dict_read, lib.gpio_pccode_write):
             fn.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -72,6 +83,40 @@ def read_pcd(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     if rc != 0:
         raise IOError(f"gpio_pcd_read({path}) failed rc={rc}")
     return xyz, rgb
+
+
+def write_artifact(name: str, art) -> bool:
+    """Native .pccode/.pcdict writer (byte-identical to io/artifact.py).
+    Returns False when the native library is unavailable (caller should
+    fall back to the Python writer)."""
+    lib = _load()
+    if lib is None:
+        return False
+
+    def cp(a, dt):
+        return np.ascontiguousarray(a, dt).ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.gpio_dict_write(
+        (name + "rgb.pcdict").encode(), cp(art.RGB_D, np.float32),
+        art.RGB_D.shape[0], art.RGB_D.shape[1])
+    rc |= lib.gpio_dict_write(
+        (name + "depth.pcdict").encode(), cp(art.D, np.float32),
+        art.D.shape[0], art.D.shape[1])
+    n = art.means.shape[0]
+    rc |= lib.gpio_pccode_write(
+        (name + ".pccode").encode(),
+        ctypes.c_int32(n), ctypes.c_int32(art.sz),
+        ctypes.c_int32(art.words_max), ctypes.c_int32(art.RGB_words_max),
+        ctypes.c_int32(art.D.shape[1]), ctypes.c_int32(art.RGB_D.shape[1]),
+        ctypes.c_float(art.res),
+        cp(art.means, np.float32), cp(art.quats, np.float32),
+        cp(art.rgb_means, np.float32),
+        cp(art.X, np.float32), cp(art.I, np.int32), cp(art.nw, np.int32),
+        cp(art.RGB_X, np.float32), cp(art.RGB_I, np.int32),
+        cp(art.RGB_nw, np.int32), cp(art.W, np.uint8))
+    if rc != 0:
+        raise IOError(f"native artifact write failed rc={rc}")
+    return True
 
 
 def write_pcd(path: str, points: np.ndarray,

@@ -233,3 +233,119 @@ int gpio_pcd_write(const char* path, const float* xyz, const float* rgb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// .pccode / .pcdict artifact codec (dictionary_representation format,
+// reference src/dictionary_representation.cpp:48-138,173-248). The Python
+// implementation in gp_compressor_tpu/io/artifact.py is the oracle; this
+// native path handles bulk artifacts at memcpy speed.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int gpio_dict_write(const char* path, const float* data, long rows, long cols) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 1;
+    int32_t c = (int32_t)cols, r = (int32_t)rows;
+    fwrite(&c, 4, 1, f);
+    fwrite(&r, 4, 1, f);
+    // column-major like Eigen
+    std::vector<float> colbuf(rows);
+    for (long j = 0; j < cols; ++j) {
+        for (long i = 0; i < rows; ++i) colbuf[i] = data[i * cols + j];
+        fwrite(colbuf.data(), 4, rows, f);
+    }
+    fclose(f);
+    return 0;
+}
+
+int gpio_dict_info(const char* path, long* rows, long* cols) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    int32_t c, r;
+    if (fread(&c, 4, 1, f) != 1 || fread(&r, 4, 1, f) != 1) {
+        fclose(f);
+        return 2;
+    }
+    *rows = r;
+    *cols = c;
+    fclose(f);
+    return 0;
+}
+
+int gpio_dict_read(const char* path, float* out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    int32_t c, r;
+    if (fread(&c, 4, 1, f) != 1 || fread(&r, 4, 1, f) != 1) {
+        fclose(f);
+        return 2;
+    }
+    std::vector<float> colbuf(r);
+    for (long j = 0; j < c; ++j) {
+        if (fread(colbuf.data(), 4, r, f) != (size_t)r) { fclose(f); return 3; }
+        for (long i = 0; i < r; ++i) out[i * c + j] = colbuf[i];
+    }
+    fclose(f);
+    return 0;
+}
+
+// Writes the .pccode body. All code arrays are row-major [n, kmax].
+int gpio_pccode_write(const char* path, int32_t n, int32_t sz,
+                      int32_t words_max, int32_t rgb_words_max,
+                      int32_t dict_size, int32_t rgb_dict_size, float res,
+                      const float* means, const float* quats,
+                      const float* rgb_means,
+                      const float* X, const int32_t* I, const int32_t* nw,
+                      const float* RGB_X, const int32_t* RGB_I,
+                      const int32_t* RGB_nw, const uint8_t* W) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 1;
+    fwrite(&n, 4, 1, f);
+    fwrite(&sz, 4, 1, f);
+    fwrite(&words_max, 4, 1, f);
+    fwrite(&rgb_words_max, 4, 1, f);
+    fwrite(&dict_size, 4, 1, f);
+    fwrite(&rgb_dict_size, 4, 1, f);
+    fwrite(&res, 4, 1, f);
+    fwrite(means, 4, 3L * n, f);
+    fwrite(quats, 4, 4L * n, f);
+    for (long i = 0; i < n; ++i) {
+        uint8_t w = (uint8_t)nw[i];
+        fwrite(&w, 1, 1, f);
+        fwrite(X + i * words_max, 4, w, f);
+    }
+    for (long i = 0; i < n; ++i) {
+        for (long k = 0; k < nw[i]; ++k) {
+            uint16_t word = (uint16_t)I[i * words_max + k];
+            fwrite(&word, 2, 1, f);
+        }
+    }
+    fwrite(rgb_means, 4, 3L * n, f);
+    for (long i = 0; i < 3L * n; ++i) {
+        uint8_t w = (uint8_t)RGB_nw[i];
+        fwrite(&w, 1, 1, f);
+        fwrite(RGB_X + i * rgb_words_max, 4, w, f);
+    }
+    for (long i = 0; i < 3L * n; ++i) {
+        for (long k = 0; k < RGB_nw[i]; ++k) {
+            uint16_t word = (uint16_t)RGB_I[i * rgb_words_max + k];
+            fwrite(&word, 2, 1, f);
+        }
+    }
+    // LSB-first bit packing, final partial byte always flushed
+    // (dictionary_representation::write_bool/close_write_bools)
+    long nbits = (long)n * sz * sz;
+    uint8_t buf = 0;
+    int b = 0;
+    for (long i = 0; i < nbits; ++i) {
+        if (b == 8) { fwrite(&buf, 1, 1, f); buf = 0; b = 0; }
+        buf |= (uint8_t)(W[i] ? 1 : 0) << b;
+        ++b;
+    }
+    fwrite(&buf, 1, 1, f);
+    fclose(f);
+    return 0;
+}
+
+}  // extern "C"
