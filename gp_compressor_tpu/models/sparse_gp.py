@@ -287,8 +287,12 @@ def predict(kp: RBFParams, s20, state: SOGPState,
     K = kernels.gram(kp, Xstar, state.bv) * act[None, :]     # [m, cap1]
     mean = jnp.einsum('mi,id->md', K, state.alpha, precision=_HI)
     KC = jnp.einsum('mi,ij->mj', K, state.C, precision=_HI)
-    var = s20 + kernels.kdiag(kp, Xstar) + jnp.sum(KC * K, axis=-1)
-    return mean, jnp.maximum(var, 0.0)
+    # exact-arithmetic invariant enforced for float32: the latent variance
+    # k** + k^T C k is >= 0, so the observation variance is >= s20 — a
+    # clamp at 0 (the reference's choice) feeds log(0)/division-by-zero
+    # into every density/gradient consumer
+    latent = kernels.kdiag(kp, Xstar) + jnp.sum(KC * K, axis=-1)
+    return mean, s20 + jnp.maximum(latent, 0.0)
 
 
 def predict_confidence(kp: RBFParams, s20, state: SOGPState, Xstar):
