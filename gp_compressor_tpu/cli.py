@@ -243,6 +243,21 @@ def cmd_gp_mapping(args):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS explicitly: the ambient sitecustomize registers
+    # the single-client TPU tunnel at interpreter start and pins the
+    # platform config before env vars are respected, so a subprocess asking
+    # for CPU would otherwise silently target (and block on) the TPU.
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     p = argparse.ArgumentParser(prog="gp_compressor_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -80,10 +80,10 @@ def test_cli_gp_compress_smoke(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     res = subprocess.run(
         [sys.executable, "-m", "gp_compressor_tpu.cli", "gp-compress",
-         "--n-points", "4000", "--res", "0.3", "--sz", "8",
-         "--capacity", "20", "--max-patches", "512", "--max-ppp", "128",
+         "--n-points", "3000", "--res", "0.3", "--sz", "6",
+         "--capacity", "16", "--max-patches", "256", "--max-ppp", "96",
          "--out", out],
-        capture_output=True, text=True, timeout=400, env=env,
+        capture_output=True, text=True, timeout=560, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert res.returncode == 0, res.stderr[-2000:]
     assert "RMS error" in res.stdout
