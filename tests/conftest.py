@@ -22,3 +22,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: repeated test sessions (and the CLI
+# subprocess smoke tests) skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/gptpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
