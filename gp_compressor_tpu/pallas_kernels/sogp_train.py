@@ -68,35 +68,43 @@ def _kernel(cfg: GPConfig, n_points: int,
 
     def delete_inplace(loc, do):
         """Conditional per-lane BV removal, mutating the state refs.
-        `do`: [L] float (1.0 = delete on this lane)."""
-        ohd = (iota == loc[None, :]).astype(jnp.float32) * do[None, :]
-        # ohd is zero on lanes that do not delete -> all deltas vanish
-        alpha = al_o[:]
-        C = C_o[:]
-        Q = Q_o[:]
-        astar = jnp.sum(alpha * ohd[:, None, :], axis=0)     # [D, L]
-        Ccol = jnp.sum(C * ohd[None, :, :], axis=1)          # [S, L]
-        Qcol = jnp.sum(Q * ohd[None, :, :], axis=1)
-        cstar = jnp.sum(Ccol * ohd, axis=0)                  # [L]
-        qstar = jnp.sum(Qcol * ohd, axis=0)
-        keep = 1.0 - ohd
-        Cs = Ccol * keep
-        Qs = Qcol * keep
-        qc = Qs + Cs
-        den = qstar + cstar
-        inv_q = do / jnp.where(jnp.abs(qstar) > 1e-30, qstar, 1.0)
-        inv_d = do / jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
-        # zeroing of row/col loc on deleting lanes: M*keep_i*keep_j =
-        # M - do*(row+col outer parts); fold into the rank-1 deltas
-        al_o[:] = (alpha - qc[:, None, :] * (astar * inv_d[None, :])[None, :, :]) \
-            * keep[:, None, :]
-        C_o[:] = (C + Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]
-                  - qc[:, None, :] * (qc * inv_d[None, :])[None, :, :]) \
-            * keep[:, None, :] * keep[None, :, :]
-        Q_o[:] = (Q - Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]) \
-            * keep[:, None, :] * keep[None, :, :]
-        bv_o[:] = bv_o[:] * keep[:, None, :]
-        act_o[:] = act_o[:] * keep
+        `do`: [L] float (1.0 = delete on this lane).
+
+        The whole body is predicated on ANY lane deleting: at the bench
+        operating point deletions fire on a vanishing fraction of points,
+        so this removes ~8 full [S, S, L] passes from the common path."""
+
+        @pl.when(jnp.max(do) > 0.0)
+        def _():
+            ohd = (iota == loc[None, :]).astype(jnp.float32) * do[None, :]
+            # ohd is zero on lanes that do not delete -> all deltas vanish
+            alpha = al_o[:]
+            C = C_o[:]
+            Q = Q_o[:]
+            astar = jnp.sum(alpha * ohd[:, None, :], axis=0)     # [D, L]
+            Ccol = jnp.sum(C * ohd[None, :, :], axis=1)          # [S, L]
+            Qcol = jnp.sum(Q * ohd[None, :, :], axis=1)
+            cstar = jnp.sum(Ccol * ohd, axis=0)                  # [L]
+            qstar = jnp.sum(Qcol * ohd, axis=0)
+            keep = 1.0 - ohd
+            Cs = Ccol * keep
+            Qs = Qcol * keep
+            qc = Qs + Cs
+            den = qstar + cstar
+            inv_q = do / jnp.where(jnp.abs(qstar) > 1e-30, qstar, 1.0)
+            inv_d = do / jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            # zeroing of row/col loc on deleting lanes: M*keep_i*keep_j =
+            # M - do*(row+col outer parts); fold into the rank-1 deltas
+            al_o[:] = (alpha - qc[:, None, :]
+                       * (astar * inv_d[None, :])[None, :, :]) \
+                * keep[:, None, :]
+            C_o[:] = (C + Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]
+                      - qc[:, None, :] * (qc * inv_d[None, :])[None, :, :]) \
+                * keep[:, None, :] * keep[None, :, :]
+            Q_o[:] = (Q - Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]) \
+                * keep[:, None, :] * keep[None, :, :]
+            bv_o[:] = bv_o[:] * keep[:, None, :]
+            act_o[:] = act_o[:] * keep
 
     def body(p, carry):
         x = X_ref[p]                       # [2, L]
