@@ -151,22 +151,41 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
 
     # ---- pass 2: claiming. Local coords of each point in each candidate
     # frame; clip to the voxel footprint (src/gp_compressor.cpp:84-86).
-    # First-claim == argmin over passing candidates; running-min over the
-    # 27 offsets keeps memory O(N).
+    # First-claim == argmin over passing candidates.
+    #
+    # The 27-candidate structure is LEAF-level, not point-level: every point
+    # in a home voxel shares the same 27 candidate leaves. So build
+    # per-leaf candidate tables once (B=4096 lookups x 27, trivial) and make
+    # the per-point work ONE home-voxel lookup plus one contiguous row
+    # gather — measured ~8x faster on TPU than 27 per-point table lookups +
+    # 27 strided R gathers (scalar-unit bound).
     half = res / 2.0
-    claim = jnp.full((N,), B, jnp.int32)
-    loc_claim = jnp.zeros((N, 3), dt)
-    for off in offsets:
-        idx, ok, centers = voxel.candidate_at_offset(grid, points, valid, off)
-        Rk = R[idx]                                                     # [N,3,3]
-        rel = points - centers
-        loc = jnp.einsum('nji,nj->ni', Rk, rel)                         # R^T rel
-        clip_ok = ((loc[:, 1] <= half) & (loc[:, 1] >= -half)
-                   & (loc[:, 2] <= half) & (loc[:, 2] >= -half))
-        better = ok & clip_ok & (idx < claim)
-        claim = jnp.where(better, idx, claim)
-        loc_claim = jnp.where(better[:, None], loc, loc_claim)
+    offs = jnp.asarray(offsets, jnp.int32)                        # [27,3]
+    leaf3 = voxel.delinearize(jnp.minimum(grid.keys, 2 ** 30), grid.dims)
+    nb3 = leaf3[:, None, :] + offs[None]                          # [B,27,3]
+    nb_idx, nb_ok = voxel.lookup(grid, voxel.linearize(nb3, grid.dims))
+    Rrows = jnp.where(nb_ok[..., None], R[nb_idx].reshape(B, 27, 9), 0.0)
+    cand_idx = jnp.where(nb_ok, nb_idx, B).astype(jnp.int32)      # [B,27]
+
+    keys3 = voxel.point_keys(points, grid.origin, grid.res)
+    h, h_ok = voxel.lookup(grid, voxel.linearize(keys3, grid.dims))
+    # a valid point's home voxel always exists unless it fell off the static
+    # max_patches budget — those points go unclaimed (overflow regime only)
+    home_center = grid.origin + (keys3.astype(dt) + 0.5) * res
+    rel = (points - home_center)[:, None, :] - offs.astype(dt) * res  # [N,27,3]
+    d2 = jnp.sum(rel * rel, axis=-1)
+    Rk = Rrows[h].reshape(N, 27, 3, 3)                            # row gather
+    cidx = cand_idx[h]                                            # row gather
+    loc = jnp.einsum('nkji,nkj->nki', Rk, rel)                    # R^T rel
+    ok = (h_ok & valid)[:, None] & (d2 <= (voxel.SQRT3_2 * res) ** 2)
+    clip_ok = ((loc[..., 1] <= half) & (loc[..., 1] >= -half)
+               & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
+    masked = jnp.where(ok & clip_ok, cidx, B)
+    k_win = jnp.argmin(masked, axis=1)
+    claim = jnp.take_along_axis(masked, k_win[:, None], 1)[:, 0]
     claimed = claim < B
+    loc_claim = jnp.take_along_axis(loc, k_win[:, None, None], 1)[:, 0]
+    loc_claim = jnp.where(claimed[:, None], loc_claim, 0.0)
     centers_all = voxel.voxel_centers(grid)                             # [B,3]
     return grid, R, centers_all, claim, loc_claim, claimed
 
