@@ -220,12 +220,26 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     Wcnt = jax.ops.segment_sum(ones, wseg, num_segments=B * sz * sz + 1)
     W = (Wcnt[:B * sz * sz] > 0).reshape(B, sz * sz)
 
-    # ---- pass 3: scatter claimed points into [B, P] banks
-    order = jnp.argsort(jnp.where(claimed, claim, B), stable=True)
-    sc = jnp.where(claimed, claim, B)[order]
-    first = jnp.searchsorted(sc, sc, side='left')
-    rank_sorted = jnp.arange(N) - first
-    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+    # ---- pass 3: scatter claimed points into [B, P] banks.
+    # Rank-within-patch via ONE payload-free sort of packed uint32 keys
+    # (claim in the high bits, point id in the low bits) — stable by
+    # construction, so ranks (and which points the static P bound drops)
+    # are identical to a stable argsort, at half the sort traffic. The
+    # first-occurrence offset per patch is a cummax scan instead of a
+    # second O(N log N) searchsorted.
+    id_bits = max(N - 1, 1).bit_length()
+    assert (B + 1) * (1 << id_bits) <= (1 << 32), \
+        "claim+id must pack into 32 bits"
+    packed = (jnp.where(claimed, claim, B).astype(jnp.uint32) << id_bits) \
+        | jnp.arange(N, dtype=jnp.uint32)
+    packed = jnp.sort(packed)
+    order = (packed & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
+    sc = (packed >> id_bits).astype(jnp.int32)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    changed = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = jax.lax.cummax(jnp.where(changed, iota, 0))
+    rank_sorted = iota - first
+    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted)
 
     tgt_ok = claimed & (rank < P)
     flat = jnp.where(tgt_ok, claim * P + rank, B * P)

@@ -45,6 +45,60 @@ def frame_from_normal(normal: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([n, c1, c2], axis=-1)
 
 
+def jacobi_eigh_batch(M: jnp.ndarray, sweeps: int = 5):
+    """Batched symmetric eigendecomposition of tiny [B, n, n] matrices by
+    cyclic Jacobi rotations — pure vector math + [B, n, n] matmuls, ~10x
+    faster on TPU than jnp.linalg.eigh's QR iteration for n = 4.
+
+    Returns (w [B, n] ascending, V [B, n, n] with columns as eigenvectors).
+    Quadratic convergence: `sweeps`=5 reaches f32 machine precision for
+    n <= 4 (validated against jnp.linalg.eigh in tests/test_patches.py).
+    """
+    Bb, n, _ = M.shape
+    dt = M.dtype
+    # normalize scale so the a_pq ~ 0 guard has an absolute threshold
+    scale = jnp.maximum(jnp.max(jnp.abs(M), axis=(1, 2), keepdims=True),
+                        jnp.asarray(1e-30, dt))
+    A = M / scale
+    V = jnp.broadcast_to(jnp.eye(n, dtype=dt), (Bb, n, n))
+    eye = jnp.eye(n, dtype=dt)
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = A[:, p, q]
+                app = A[:, p, p]
+                aqq = A[:, q, q]
+                small = jnp.abs(apq) <= 1e-12
+                theta = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
+                t = jnp.sign(theta) / (jnp.abs(theta)
+                                       + jnp.sqrt(1.0 + theta * theta))
+                t = jnp.where(theta == 0, 1.0, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = jnp.where(small, 0.0, t * c)
+                c = jnp.where(small, 1.0, c)
+                # G = I with G[p,p]=G[q,q]=c, G[p,q]=s, G[q,p]=-s
+                # (annihilates A'[p,q] in A' = G^T A G)
+                E_pq = jnp.zeros((n, n), dt).at[p, q].set(1.0)
+                E_qp = jnp.zeros((n, n), dt).at[q, p].set(1.0)
+                E_pp = jnp.zeros((n, n), dt).at[p, p].set(1.0)
+                E_qq = jnp.zeros((n, n), dt).at[q, q].set(1.0)
+                cm = c[:, None, None]
+                sm = s[:, None, None]
+                G = (eye - E_pp - E_qq) + cm * (E_pp + E_qq) \
+                    + sm * (E_pq - E_qp)
+                # HIGHEST: TPU's default bf16 matmuls compound over the
+                # ~30 accumulated rotations and visibly degrade the normals
+                A = jnp.einsum('bij,bjk,bkl->bil', G.transpose(0, 2, 1), A, G,
+                               precision=jax.lax.Precision.HIGHEST)
+                V = jnp.einsum('bij,bjk->bik', V, G,
+                               precision=jax.lax.Precision.HIGHEST)
+    w = jnp.diagonal(A, axis1=1, axis2=2) * scale[:, :, 0]
+    order = jnp.argsort(w, axis=1)
+    w = jnp.take_along_axis(w, order, axis=1)
+    V = jnp.take_along_axis(V, order[:, None, :], axis=2)
+    return w, V
+
+
 def rotation_from_moment(M: jnp.ndarray, npoints: jnp.ndarray,
                          min_points: int = 4) -> jnp.ndarray:
     """Patch frame from the 4x4 homogeneous second-moment matrix.
@@ -66,7 +120,22 @@ def rotation_from_moment(M: jnp.ndarray, npoints: jnp.ndarray,
     return jnp.where(bad, eye, R)
 
 
-rotation_from_moment_batch = jax.vmap(rotation_from_moment, in_axes=(0, 0, None))
+def _finish_rotation(plane, npoints, min_points, dt):
+    normal = plane[:3]
+    norm = jnp.linalg.norm(normal)
+    normal = normal / jnp.where(norm > 0, norm, 1.0)
+    R = frame_from_normal(normal)
+    eye = jnp.eye(3, dtype=dt)
+    bad = (npoints < min_points) | (norm <= 0)
+    return jnp.where(bad, eye, R)
+
+
+def rotation_from_moment_batch(M: jnp.ndarray, npoints: jnp.ndarray,
+                               min_points: int = 4) -> jnp.ndarray:
+    """[B, 4, 4] moments -> [B, 3, 3] frames via the batched Jacobi solver."""
+    _, V = jacobi_eigh_batch(M)
+    return jax.vmap(_finish_rotation, in_axes=(0, 0, None, None))(
+        V[:, :, 0], npoints, min_points, M.dtype)
 
 
 def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
