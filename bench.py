@@ -133,16 +133,20 @@ def main():
         os.environ.get("GPTPU_NO_PALLAS") != "1"
 
     def pipeline(pts, cols, valid, key):
-        comp = compressor.compress(pts, cols, valid, cfg, key,
-                                   use_pallas=use_pallas)
-        out = compressor.decompress(comp, cfg)
-        return comp, out
+        # one-jit fused round trip: a single device dispatch (the per-stage
+        # dispatch+fetch RTTs cost ~25% wall on the tunneled backend)
+        return compressor.compress_decompress(pts, cols, valid, cfg, key,
+                                              use_pallas=use_pallas)
+
+    # force a real device round-trip: on the tunneled axon backend,
+    # block_until_ready alone does not guarantee execution finished. ONE
+    # jitted checksum + ONE scalar fetch — separate fetches each pay a
+    # dispatch+fetch RTT on the tunnel (~19 ms apiece).
+    checksum = jax.jit(lambda comp, out: (
+        jnp.sum(out[0]) + jnp.sum(comp.depth_gp.C) + jnp.sum(comp.rgb_gp.C)))
 
     def sync(comp, out):
-        # force a real device round-trip: on the tunneled axon backend,
-        # block_until_ready alone does not guarantee execution finished
-        return (float(jnp.sum(out[0])) + float(jnp.sum(comp.depth_gp.C))
-                + float(jnp.sum(comp.rgb_gp.C)))
+        return float(checksum(comp, out))
 
     # warmup / compile (fall back to the XLA scan path if the fused kernel
     # fails to compile on this backend)

@@ -61,6 +61,21 @@ class PatchBatch(NamedTuple):
         return jnp.sum(jnp.maximum(self.counts - cap, 0))
 
 
+# upper triangle of a symmetric 4x4, row-major: the 10 unique homogeneous
+# second moments (xx xy xz x | yy yz y | zz z | 1)
+_SYM_I = tuple(i for i in range(4) for j in range(i, 4))
+_SYM_J = tuple(j for i in range(4) for j in range(i, 4))
+_SYM_POS = [[0] * 4 for _ in range(4)]
+for _k, (_i, _j) in enumerate(zip(_SYM_I, _SYM_J)):
+    _SYM_POS[_i][_j] = _SYM_POS[_j][_i] = _k
+
+
+def _sym10_to_44(m10: jnp.ndarray) -> jnp.ndarray:
+    """[..., 10] packed symmetric moments -> [..., 4, 4]."""
+    import numpy as _np
+    return m10[..., jnp.asarray(_np.asarray(_SYM_POS))]
+
+
 def grid_cell(uv: jnp.ndarray, res, sz: int) -> jnp.ndarray:
     """Local (u, v) -> flattened sz x sz cell index
     (src/gp_compressor.cpp:90-92: ind = sz*x + y with x from u, y from v).
@@ -92,9 +107,11 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
     # ---- pass 1: plane fits over *all* sphere points (claimed or not),
     # matching the reference which computes rotations before claiming
     # (src/gp_compressor.cpp:226-237). One segment-sum per neighbour offset
-    # keeps memory O(N).
+    # keeps memory O(N). Only the 10 unique entries of the symmetric 4x4
+    # homogeneous moment are accumulated (upper triangle, row-major);
+    # _sym10_to_44 re-expands before the eigensolve.
     h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)        # [N,4]
-    hh = h[:, :, None] * h[:, None, :]                                  # [N,4,4]
+    hh = h[:, jnp.asarray(_SYM_I)] * h[:, jnp.asarray(_SYM_J)]          # [N,10]
     if cfg.approx_sphere_moments:
         # Octant-resolution sphere approximation: ONE scatter accumulates
         # per-(voxel, octant) moments; the radius filter becomes a static
@@ -110,9 +127,9 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
                   + (frac[:, 1] >= 0.5).astype(jnp.int32) * 2
                   + (frac[:, 2] >= 0.5).astype(jnp.int32))
         seg = jnp.where(exists & valid, idx * 8 + oct_id, B * 8)
-        Mv8 = jax.ops.segment_sum(hh.reshape(N, 16), seg,
+        Mv8 = jax.ops.segment_sum(hh, seg,
                                   num_segments=B * 8 + 1)[:B * 8]
-        Mv8 = Mv8.reshape(B, 8, 16)
+        Mv8 = Mv8.reshape(B, 8, 10)
 
         # static inclusion table: octant o of neighbour at offset d is in
         # the sphere iff |d + c_o| <= sqrt(3)/2 (res units), c_o = +-0.25
@@ -125,7 +142,7 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
             d = _np.asarray(off, float)[None, :] + octc
             include[ko] = _np.linalg.norm(d, axis=1) <= voxel.SQRT3_2
         leaf3 = voxel.delinearize(jnp.minimum(grid.keys, 2 ** 30), grid.dims)
-        M = jnp.zeros((B, 16), dt)
+        M = jnp.zeros((B, 10), dt)
         for ko, off in enumerate(offsets):
             sel = include[ko]
             if not sel.any():
@@ -135,10 +152,10 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
             nb_idx, nb_ok = voxel.lookup(grid, nb_lin)
             part = jnp.sum(Mv8[:, jnp.asarray(_np.nonzero(sel)[0])], axis=1)
             M = M + jnp.where(nb_ok[:, None], part[nb_idx], 0.0)
-        M = M.reshape(B, 4, 4)
+        M = _sym10_to_44(M)
         sphere_counts = M[:, 3, 3].astype(jnp.int32)
     else:
-        M = jnp.zeros((B, 4, 4), dt)
+        M = jnp.zeros((B, 10), dt)
         sphere_counts = jnp.zeros((B,), jnp.int32)
         for off in offsets:
             idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
@@ -146,6 +163,7 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
             M = M + jax.ops.segment_sum(hh, seg, num_segments=B + 1)[:B]
             sphere_counts = sphere_counts + jax.ops.segment_sum(
                 ok.astype(jnp.int32), seg, num_segments=B + 1)[:B]
+        M = _sym10_to_44(M)
     R = rotation.rotation_from_moment_batch(M, sphere_counts,
                                             cfg.min_points_for_rotation)
 

@@ -89,8 +89,31 @@ def build_grid(points: jnp.ndarray, valid: jnp.ndarray, res,
         jnp.floor((p_hi - p_lo) / res).astype(jnp.int32) + 1, 1)
     keys3 = point_keys(points, p_lo, res)
     lin = jnp.where(valid, linearize(keys3, dims), _FILL)
-    uniq = jnp.unique(lin, size=max_patches, fill_value=_FILL)
-    n = jnp.sum(uniq != _FILL).astype(jnp.int32)
+
+    def _dense(lin):
+        # O(max_cells) unique: presence histogram + cumsum compaction.
+        # Avoids the O(N log^2 N) bitonic sort when the world fits the
+        # dense-cell budget; keeps the same ascending key order and the
+        # same keep-the-B-smallest overflow behaviour as jnp.unique.
+        presence = jnp.zeros((max_cells,), jnp.int32).at[lin].set(
+            1, mode='drop')                       # _FILL/oob keys drop out
+        rank = jnp.cumsum(presence)
+        tgt = jnp.where(presence > 0, rank - 1, max_patches)
+        uniq = jnp.full((max_patches,), _FILL, jnp.int32).at[tgt].set(
+            jnp.arange(max_cells, dtype=jnp.int32), mode='drop')
+        return uniq, jnp.minimum(rank[-1], max_patches).astype(jnp.int32)
+
+    def _sorted(lin):
+        uniq = jnp.unique(lin, size=max_patches, fill_value=_FILL)
+        return uniq, jnp.sum(uniq != _FILL).astype(jnp.int32)
+
+    if max_cells > 0:
+        # f32 product is exact for dims < 2^24 per axis; only the
+        # <= max_cells (< 2^24) comparison matters
+        fits = (dims[0].astype(jnp.float32) * dims[1] * dims[2]) <= max_cells
+        uniq, n = jax.lax.cond(fits, _dense, _sorted, lin)
+    else:
+        uniq, n = _sorted(lin)
     table = None
     if max_cells > 0:
         real = uniq != _FILL

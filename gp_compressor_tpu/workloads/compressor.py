@@ -178,6 +178,22 @@ def compress(points, colors, valid, cfg: CompressorConfig, key,
     return train(batch, cfg, key, use_pallas=use_pallas)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
+                        use_pallas: bool = False):
+    """save_compressed + load_compressed fused into ONE jit — the
+    production round-trip path. The nested project/train/decompress jits
+    inline under this trace, so the whole pipeline is a single device
+    dispatch: on the tunneled TPU backend the per-stage dispatch+fetch
+    round-trips alone cost ~25% of end-to-end wall at 300k points.
+
+    Returns (CompressedCloud, decompress outputs)."""
+    batch = project(points, colors, valid, cfg)
+    comp = train(batch, cfg, key, use_pallas=use_pallas)
+    out = decompress(comp, cfg)
+    return comp, out
+
+
 def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
                         use_pallas: bool = False, method: str = "map",
                         calib_patches: int = 32, calib_points: int = 64,
