@@ -209,8 +209,15 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
 
 
 def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
-                  valid: jnp.ndarray, cfg: PatchConfig) -> PatchBatch:
-    """points: [N, 3], colors: [N, 3] (0..255 floats), valid: [N] bool."""
+                  valid: jnp.ndarray, cfg: PatchConfig,
+                  shuffle_key=None) -> PatchBatch:
+    """points: [N, 3], colors: [N, 3] (0..255 floats), valid: [N] bool.
+
+    shuffle_key: optional PRNG key — when given, each patch's points land
+    in its bank in a uniformly random order (per-patch Fisher–Yates via
+    random-bits argsort), implementing the reference's shuffle-before-
+    insert (src/sparse_gp.hpp:43-56) at scatter time for free instead of
+    as a separate [B, P] take_along_axis pass before training."""
     B, P, sz = cfg.max_patches, cfg.max_points_per_patch, cfg.sz
     dt = points.dtype
     N = points.shape[0]
@@ -260,6 +267,15 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted)
 
     tgt_ok = claimed & (rank < P)
+    if shuffle_key is not None:
+        # permute the in-bank slot of each kept point: slot = sigma_b(rank)
+        # with sigma_b a uniform per-patch permutation of [0, P). The drop
+        # set (rank >= P) is unchanged; only bank order differs.
+        sigma = jnp.argsort(
+            jax.random.bits(shuffle_key, (B, P), jnp.uint32), axis=1
+        ).astype(jnp.int32)
+        rank = sigma.reshape(B * P)[
+            jnp.where(tgt_ok, claim * P + rank, 0)]
     flat = jnp.where(tgt_ok, claim * P + rank, B * P)
     Xb = jnp.zeros((B * P, 2), dt).at[flat].set(
         jnp.where(tgt_ok[:, None], loc_claim[:, 1:], 0.0), mode='drop')

@@ -58,7 +58,7 @@ def _diag(M):
 
 def _kernel(cfg: GPConfig, n_points: int,
             prm_ref, X_ref, Y_ref, V_ref, bv_in, al_in, C_in, Q_in, act_in,
-            bv_o, al_o, C_o, Q_o, act_o):
+            bv_o, al_o, C_o, Q_o, act_o, dC_ref, dQ_ref):
     S = cfg.slots
     sigmaf_sq = prm_ref[0, 0]
     l_sq = prm_ref[0, 1]
@@ -105,6 +105,10 @@ def _kernel(cfg: GPConfig, n_points: int,
                 * keep[:, None, :] * keep[None, :, :]
             bv_o[:] = bv_o[:] * keep[:, None, :]
             act_o[:] = act_o[:] * keep
+            # rank-1 deltas hit the diagonal in closed form
+            dC_ref[:] = (dC_ref[:] + Qs * Qs * inv_q[None, :]
+                         - qc * qc * inv_d[None, :]) * keep
+            dQ_ref[:] = (dQ_ref[:] - Qs * Qs * inv_q[None, :]) * keep
 
     def body(p, carry):
         x = X_ref[p]                       # [2, L]
@@ -146,20 +150,25 @@ def _kernel(cfg: GPConfig, n_points: int,
         grow = (1.0 - sp)[None, :] * v[None, :] * oh            # [S, L]
         bv_o[:] = bv * (1.0 - grow)[:, None, :] + grow[:, None, :] * x[None, :, :]
         act_o[:] = jnp.maximum(act, grow)
+        # incremental diagonals: the rank-1 updates add coef*v_i^2 on the
+        # diagonal — same arithmetic the full matrices receive, at [S, L]
+        # cost. Saves ~6 full [S, S, L] diag sweeps per point.
+        dC_ref[:] = dC_ref[:] + (r * coefA)[None, :] * v1 * v1
+        dQ_ref[:] = dQ_ref[:] + coefQ[None, :] * e_f * e_f
 
         # capacity deletion (one per insertion suffices)
         act2 = act_o[:]
         size = jnp.sum(act2, axis=0)
         scores = jnp.where(act2 > 0,
                            jnp.sum(al_o[:] * al_o[:], axis=1)
-                           / (_diag(Q_o[:]) + _diag(C_o[:])), jnp.inf)
+                           / (dQ_ref[:] + dC_ref[:]), jnp.inf)
         loc = jnp.argmin(scores, axis=0)
         over = ((size > float(cfg.capacity)).astype(jnp.float32)) * v
         delete_inplace(loc, over)
 
         for _ in range(cfg.max_geometric_deletes):
             act3 = act_o[:]
-            g = jnp.where(act3 > 0, 1.0 / _diag(Q_o[:]), jnp.inf)
+            g = jnp.where(act3 > 0, 1.0 / dQ_ref[:], jnp.inf)
             locg = jnp.argmin(g, axis=0)
             dog = ((jnp.min(g, axis=0) < cfg.geom_tol)
                    & (jnp.sum(act3, axis=0) > 1)).astype(jnp.float32) * v
@@ -172,6 +181,8 @@ def _kernel(cfg: GPConfig, n_points: int,
     C_o[:] = C_in[:]
     Q_o[:] = Q_in[:]
     act_o[:] = act_in[:]
+    dC_ref[:] = _diag(C_in[:])
+    dQ_ref[:] = _diag(Q_in[:])
     lax.fori_loop(0, n_points, body, 0)
 
 
@@ -223,10 +234,12 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
                             memory_space=pltpu.VMEM)
 
     def kernel_wrap(prm_ref, X_ref, Y_ref, V_ref, bv_ref, alpha_ref, C_ref,
-                    Q_ref, act_ref, bv_o, al_o, C_o, Q_o, act_o):
+                    Q_ref, act_ref, bv_o, al_o, C_o, Q_o, act_o,
+                    dC_ref, dQ_ref):
         kern(prm_ref, X_ref.at[0], Y_ref.at[0], V_ref.at[0], bv_ref.at[0],
              alpha_ref.at[0], C_ref.at[0], Q_ref.at[0], act_ref.at[0],
-             bv_o.at[0], al_o.at[0], C_o.at[0], Q_o.at[0], act_o.at[0])
+             bv_o.at[0], al_o.at[0], C_o.at[0], Q_o.at[0], act_o.at[0],
+             dC_ref, dQ_ref)
 
     out_shapes = [
         jax.ShapeDtypeStruct(bvl.shape, dt),
@@ -250,6 +263,8 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
         out_shape=out_shapes,
         # alias state inputs onto outputs: halves the VMEM block footprint
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        scratch_shapes=[pltpu.VMEM((cfg.slots, LANES), dt),
+                        pltpu.VMEM((cfg.slots, LANES), dt)],
         interpret=interpret,
     )(prm, Xl, Yl, Vl, bvl, al, Cl, Ql, actl)
 

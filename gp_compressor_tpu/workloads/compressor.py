@@ -52,23 +52,33 @@ def default_params(cfg: CompressorConfig) -> Tuple[RBFParams, RBFParams]:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def project(points: jnp.ndarray, colors: jnp.ndarray, valid: jnp.ndarray,
-            cfg: CompressorConfig) -> patches_mod.PatchBatch:
-    """project_cloud equivalent (src/gp_compressor.cpp:177-249)."""
-    return patches_mod.build_patches(points, colors, valid, cfg.patch)
+            cfg: CompressorConfig,
+            shuffle_key=None) -> patches_mod.PatchBatch:
+    """project_cloud equivalent (src/gp_compressor.cpp:177-249).
+
+    shuffle_key: randomise in-bank point order at scatter time (see
+    build_patches) so training needs no separate permutation pass."""
+    return patches_mod.build_patches(points, colors, valid, cfg.patch,
+                                     shuffle_key=shuffle_key)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas",
+                                              "banks_shuffled"))
 def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
           key: jax.Array,
           depth_kp: Optional[RBFParams] = None,
           rgb_kp: Optional[RBFParams] = None,
-          use_pallas: bool = False) -> CompressedCloud:
+          use_pallas: bool = False,
+          banks_shuffled: bool = False) -> CompressedCloud:
     """train_processes equivalent (src/gp_compressor.cpp:121-175): feed each
     patch's claimed points into its depth GP and RGB field GP, with the
     reference's shuffle-before-insert (src/sparse_gp.hpp:43-56).
 
     use_pallas=True routes the online updates through the fused
-    VMEM-resident kernel (pallas_kernels.sogp_train) — TPU only."""
+    VMEM-resident kernel (pallas_kernels.sogp_train) — TPU only.
+    banks_shuffled=True promises the banks were already scatter-time
+    shuffled (project(..., shuffle_key=...)), skipping the expensive
+    [B, P] permutation gathers here."""
     dkp, ckp = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
     rgb_kp = rgb_kp if rgb_kp is not None else ckp
@@ -82,14 +92,17 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
     if use_pallas:
         from gp_compressor_tpu.pallas_kernels import sogp_train
 
-        # the kernel does not shuffle; apply the per-patch permutation here
-        P = batch.X.shape[1]
-        perm = jax.vmap(lambda k: jax.random.permutation(k, P))(
-            jax.random.split(kd, B))
-        take = lambda a: jnp.take_along_axis(
-            a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
-        Xs, ys, rs = take(batch.X), take(batch.y), take(batch.rgb)
-        ms = jnp.take_along_axis(batch.mask, perm, axis=1)
+        if banks_shuffled:
+            Xs, ys, rs, ms = batch.X, batch.y, batch.rgb, batch.mask
+        else:
+            # the kernel does not shuffle; apply the permutation here
+            P = batch.X.shape[1]
+            perm = jax.vmap(lambda k: jax.random.permutation(k, P))(
+                jax.random.split(kd, B))
+            take = lambda a: jnp.take_along_axis(
+                a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
+            Xs, ys, rs = take(batch.X), take(batch.y), take(batch.rgb)
+            ms = jnp.take_along_axis(batch.mask, perm, axis=1)
         dstates = sogp_train.add_points_batch_pallas(
             depth_kp, cfg.depth_gp, dstates, Xs, ys, ms)
         cstates = sogp_train.add_points_batch_pallas(
@@ -101,7 +114,9 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
         cstates = sparse_gp.add_points_batch(
             rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb,
             batch.mask, jax.random.split(kc, B))
-    probes = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)
+    # a 1/5 subsample of the prediction grid suffices as health probes —
+    # a diverged patch blows up everywhere, not at isolated cells
+    probes = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)[::5]
     # health bounds ~10x beyond any legitimate posterior: depth lives
     # within +-res of the patch plane, colors within +-255 of the mean
     dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, cfg.depth_gp.s20,
@@ -174,8 +189,9 @@ def reconstruction_rmse(comp: CompressedCloud, cfg: CompressorConfig,
 def compress(points, colors, valid, cfg: CompressorConfig, key,
              use_pallas: bool = False) -> CompressedCloud:
     """Full save_compressed pipeline (src/gp_compressor.cpp:21-27)."""
-    batch = project(points, colors, valid, cfg)
-    return train(batch, cfg, key, use_pallas=use_pallas)
+    ks, kt = jax.random.split(key)
+    batch = project(points, colors, valid, cfg, shuffle_key=ks)
+    return train(batch, cfg, kt, use_pallas=use_pallas, banks_shuffled=True)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
@@ -188,8 +204,7 @@ def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
     round-trips alone cost ~25% of end-to-end wall at 300k points.
 
     Returns (CompressedCloud, decompress outputs)."""
-    batch = project(points, colors, valid, cfg)
-    comp = train(batch, cfg, key, use_pallas=use_pallas)
+    comp = compress(points, colors, valid, cfg, key, use_pallas=use_pallas)
     out = decompress(comp, cfg)
     return comp, out
 
