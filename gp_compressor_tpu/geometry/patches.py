@@ -76,6 +76,35 @@ def _sym10_to_44(m10: jnp.ndarray) -> jnp.ndarray:
     return m10[..., jnp.asarray(_np.asarray(_SYM_POS))]
 
 
+def segment_rank(claim: jnp.ndarray, claimed: jnp.ndarray,
+                 n_segments: int) -> jnp.ndarray:
+    """Stable rank of each point within its claimed segment ([N] int32).
+
+    ONE payload-free sort of packed uint32 keys (segment in the high bits,
+    point id in the low bits) — stable by construction, so ranks (and which
+    points a static per-segment bound drops) are identical to a stable
+    argsort at half the sort traffic; the first-occurrence offset per
+    segment is a cummax scan instead of a second O(N log N) searchsorted.
+    Falls back to argsort when the key doesn't fit 32 bits."""
+    N = claim.shape[0]
+    id_bits = max(N - 1, 1).bit_length()
+    iota = jnp.arange(N, dtype=jnp.int32)
+    if (n_segments + 1) << id_bits <= (1 << 32):
+        packed = (jnp.where(claimed, claim, n_segments).astype(jnp.uint32)
+                  << id_bits) | jnp.arange(N, dtype=jnp.uint32)
+        packed = jnp.sort(packed)
+        order = (packed & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
+        sc = (packed >> id_bits).astype(jnp.int32)
+    else:
+        order = jnp.argsort(jnp.where(claimed, claim, n_segments),
+                            stable=True).astype(jnp.int32)
+        sc = jnp.where(claimed, claim, n_segments)[order]
+    changed = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = jax.lax.cummax(jnp.where(changed, iota, 0))
+    rank_sorted = iota - first
+    return jnp.zeros(N, jnp.int32).at[order].set(rank_sorted)
+
+
 def grid_cell(uv: jnp.ndarray, res, sz: int) -> jnp.ndarray:
     """Local (u, v) -> flattened sz x sz cell index
     (src/gp_compressor.cpp:90-92: ind = sz*x + y with x from u, y from v).
@@ -245,26 +274,8 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     Wcnt = jax.ops.segment_sum(ones, wseg, num_segments=B * sz * sz + 1)
     W = (Wcnt[:B * sz * sz] > 0).reshape(B, sz * sz)
 
-    # ---- pass 3: scatter claimed points into [B, P] banks.
-    # Rank-within-patch via ONE payload-free sort of packed uint32 keys
-    # (claim in the high bits, point id in the low bits) — stable by
-    # construction, so ranks (and which points the static P bound drops)
-    # are identical to a stable argsort, at half the sort traffic. The
-    # first-occurrence offset per patch is a cummax scan instead of a
-    # second O(N log N) searchsorted.
-    id_bits = max(N - 1, 1).bit_length()
-    assert (B + 1) * (1 << id_bits) <= (1 << 32), \
-        "claim+id must pack into 32 bits"
-    packed = (jnp.where(claimed, claim, B).astype(jnp.uint32) << id_bits) \
-        | jnp.arange(N, dtype=jnp.uint32)
-    packed = jnp.sort(packed)
-    order = (packed & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
-    sc = (packed >> id_bits).astype(jnp.int32)
-    iota = jnp.arange(N, dtype=jnp.int32)
-    changed = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
-    first = jax.lax.cummax(jnp.where(changed, iota, 0))
-    rank_sorted = iota - first
-    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted)
+    # ---- pass 3: scatter claimed points into [B, P] banks
+    rank = segment_rank(claim, claimed, B)
 
     tgt_ok = claimed & (rank < P)
     if shuffle_key is not None:

@@ -52,6 +52,115 @@ def init_state(dtype=jnp.float32) -> RegistrationState:
         mean_color_likelihood=jnp.asarray(0.0, dtype))
 
 
+_OFFS27 = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+           for dz in (-1, 0, 1)]
+
+
+class ClaimTables(NamedTuple):
+    """Leaf-level candidate tables for scan->map claiming.
+
+    A scan point can only be claimed by a leaf in the 27-neighbourhood of
+    its (grid-clamped) voxel, so candidacy is a property of the CELL, not
+    the point: one row per cell of the 1-dilated leaf set holds the 27
+    candidate leaves' slot ids, gp indices, frames and means. Claiming a
+    point is then one dense-table lookup plus one contiguous row gather —
+    the same ~8x-over-27-strided-passes trade as the compression front end,
+    and the tables are invariant across the registration gradient loop.
+    """
+
+    cell_row: jnp.ndarray    # [nc] int32 in-grid cell -> row id (-1 none)
+    sidx: jnp.ndarray        # [Bx, 27] candidate leaf slot (fill = B_slots)
+    gid: jnp.ndarray         # [Bx, 27] candidate gp_index (0 where !ok)
+    ok: jnp.ndarray          # [Bx, 27] candidate exists & trained
+    R: jnp.ndarray           # [Bx, 27, 9] candidate frames
+    mean: jnp.ndarray        # [Bx, 27, 3] candidate patch means
+
+
+def build_claim_tables(grid, rotations, means, trained,
+                       leaf_ids=None) -> ClaimTables:
+    """Requires grid.table (the dense cell->leaf map). O(27 B) work."""
+    B_slots = grid.keys.shape[0]
+    i32 = jnp.int32
+    offs = jnp.asarray(_OFFS27, i32)
+    leaf3 = voxel.delinearize(jnp.minimum(grid.keys, 2 ** 30), grid.dims)
+    real = jnp.arange(B_slots) < grid.n_leaves
+    ext3 = (leaf3[:, None, :] + offs[None]).reshape(-1, 3)       # [Bx, 3]
+    Bx = B_slots * 27
+    ext_lin = voxel.linearize(ext3, grid.dims)
+    ext_lin = jnp.where(jnp.repeat(real, 27), ext_lin, voxel._FILL)
+    nc = grid.table.shape[0]
+    # duplicate writers describe the same cell -> identical rows; any wins
+    cell_row = jnp.full((nc,), -1, i32).at[ext_lin].set(
+        jnp.arange(Bx, dtype=i32), mode='drop')
+
+    nbi, nbo = [], []
+    for off in _OFFS27:
+        lin_k = voxel.linearize(ext3 + jnp.asarray(off, i32), grid.dims)
+        i_k, ok_k = voxel.lookup(grid, lin_k)
+        nbi.append(i_k)
+        nbo.append(ok_k)
+    nb_idx = jnp.stack(nbi, 1)                                   # [Bx, 27]
+    nb_ok = jnp.stack(nbo, 1)
+    g = jnp.where(nb_ok, nb_idx, 0)
+    g = g if leaf_ids is None else leaf_ids[g]
+    cok = nb_ok & trained[g]
+    Rr = jnp.where(cok[..., None],
+                   rotations[g].reshape(Bx, 27, 9), 0.0)
+    mr = jnp.where(cok[..., None], means[g], 0.0)
+    return ClaimTables(
+        cell_row=cell_row,
+        sidx=jnp.where(cok, nb_idx, B_slots).astype(i32),
+        gid=jnp.where(cok, g, 0).astype(i32), ok=cok, R=Rr, mean=mr)
+
+
+def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
+                      out_fill):
+    """Claim scan points against prebuilt tables. Points are keyed by their
+    grid-CLAMPED voxel: a point up to one cell outside the map box can
+    still reach boundary leaves (its true candidates all lie in the clamped
+    cell's 27-neighbourhood since in-grid sphere centers are < 0.866 res
+    away), and points further out are geometrically unclaimable."""
+    N = points.shape[0]
+    dt = points.dtype
+    B_slots = grid.keys.shape[0]
+    res = jnp.asarray(res, dt)
+    half = res / 2.0
+    offs_f = jnp.asarray(_OFFS27, dt)
+
+    keys3 = voxel.point_keys(points, grid.origin, grid.res)
+    keys3c = jnp.clip(keys3, 0, grid.dims - 1)
+    lin = voxel.linearize(keys3c, grid.dims)
+    nc = tables.cell_row.shape[0]
+    row = tables.cell_row[jnp.clip(lin, 0, nc - 1)]
+    has = (lin < nc) & (row >= 0) & valid
+    rowc = jnp.where(has, row, 0)
+
+    Rk = tables.R[rowc].reshape(N, 27, 3, 3)                     # row gather
+    mk = tables.mean[rowc]
+    sk = tables.sidx[rowc]
+    gk = tables.gid[rowc]
+    okk = tables.ok[rowc]
+    ccen = grid.origin + (keys3c.astype(dt)[:, None, :] + offs_f[None]
+                          + 0.5) * res                           # [N, 27, 3]
+    d2 = jnp.sum((points[:, None, :] - ccen) ** 2, axis=-1)
+    rel = points[:, None, :] - mk
+    loc = jnp.einsum('nkji,nkj->nki', Rk, rel)                   # R^T rel
+    pass_ = (has[:, None] & okk
+             & (d2 <= (voxel.SQRT3_2 * res) ** 2)
+             & (loc[..., 1] <= half) & (loc[..., 1] >= -half)
+             & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
+    masked = jnp.where(pass_, sk, B_slots)
+    k_win = jnp.argmin(masked, axis=1)
+    best = jnp.take_along_axis(masked, k_win[:, None], 1)[:, 0]
+    claimed = best < B_slots
+    loc_claim = jnp.where(
+        claimed[:, None],
+        jnp.take_along_axis(loc, k_win[:, None, None], 1)[:, 0], 0.0)
+    gwin = jnp.take_along_axis(gk, k_win[:, None], 1)[:, 0]
+    gclaim = jnp.where(claimed, gwin, out_fill).astype(jnp.int32)
+    return gclaim, loc_claim, claimed
+
+
 def claim_to_patches(grid, rotations, means, trained, points, valid, res,
                      leaf_ids=None):
     """Assign scan points to existing patches: candidate = 27-neighbour
@@ -66,15 +175,19 @@ def claim_to_patches(grid, rotations, means, trained, points, valid, res,
     Returns (gp_index claim [N], local coords [N, 3], claimed [N]).
     """
     B = rotations.shape[0]
+    if grid.table is not None:
+        tables = build_claim_tables(grid, rotations, means, trained,
+                                    leaf_ids=leaf_ids)
+        return claim_with_tables(tables, grid, points, valid, res,
+                                 out_fill=B)
+
+    # table-less fallback: 27 per-point candidate passes
     N = points.shape[0]
     dt = points.dtype
     half = jnp.asarray(res, dt) / 2.0
-
     best = jnp.full((N,), B, jnp.int32)       # sorted-slot of the claim
     loc_claim = jnp.zeros((N, 3), dt)
-    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-               for dz in (-1, 0, 1)]
-    for off in offsets:
+    for off in _OFFS27:
         idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
         gid = idx if leaf_ids is None else leaf_ids[idx]
         ok = ok & trained[gid]
@@ -93,9 +206,24 @@ def claim_to_patches(grid, rotations, means, trained, points, valid, res,
     return gclaim, loc_claim, claimed
 
 
-def _claim_to_map(comp: CompressedCloud, points: jnp.ndarray,
-                  valid: jnp.ndarray, cfg: CompressorConfig):
+def _map_claim_tables(comp: CompressedCloud):
+    """Candidate tables against a compressed map (None if the grid carries
+    no dense table)."""
     batch = comp.patch
+    if batch.grid.table is None:
+        return None
+    trained = sparse_gp.size(comp.depth_gp) > 0                 # [B]
+    return build_claim_tables(batch.grid, batch.rotations, batch.means,
+                              trained)
+
+
+def _claim_to_map(comp: CompressedCloud, points: jnp.ndarray,
+                  valid: jnp.ndarray, cfg: CompressorConfig, tables=None):
+    batch = comp.patch
+    if tables is not None:
+        return claim_with_tables(tables, batch.grid, points, valid,
+                                 cfg.patch.res,
+                                 out_fill=batch.rotations.shape[0])
     trained = sparse_gp.size(comp.depth_gp) > 0                 # [B]
     return claim_to_patches(batch.grid, batch.rotations, batch.means,
                             trained, points, valid, cfg.patch.res)
@@ -104,12 +232,8 @@ def _claim_to_map(comp: CompressedCloud, points: jnp.ndarray,
 def _bank_points(claim, loc, colors, claimed, B, P):
     """Scatter claimed points into [B, P] banks (same ranking trick as the
     compression front-end)."""
-    N = claim.shape[0]
-    order = jnp.argsort(jnp.where(claimed, claim, B), stable=True)
-    sc = jnp.where(claimed, claim, B)[order]
-    first = jnp.searchsorted(sc, sc, side='left')
-    rank = jnp.zeros(N, jnp.int32).at[order].set(
-        (jnp.arange(N) - first).astype(jnp.int32))
+    from gp_compressor_tpu.geometry.patches import segment_rank
+    rank = segment_rank(claim, claimed, B)
     ok = claimed & (rank < P)
     flat = jnp.where(ok, claim * P + rank, B * P)
     dt = loc.dtype
@@ -161,10 +285,11 @@ def _color_density_grads(kp: RBFParams, s20, states, Xb, Cb, mask):
 
 def compute_transformation(comp: CompressedCloud, points, colors, valid,
                            cfg: CompressorConfig, rcfg: RegistrationConfig,
-                           depth_kp=None, rgb_kp=None):
+                           depth_kp=None, rgb_kp=None, tables=None):
     """One gradient evaluation (compute_transformation,
     src/gp_registration.cpp:115-246). Returns (delta [6], mean likelihood,
-    mean color likelihood, n_points_used)."""
+    mean color likelihood, n_points_used). `tables`: prebuilt ClaimTables
+    (loop-invariant — build once per register() call)."""
     dkp, ckp = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
     rgb_kp = rgb_kp if rgb_kp is not None else ckp
@@ -172,7 +297,8 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
     B = batch.rotations.shape[0]
     P = cfg.patch.max_points_per_patch
 
-    claim, loc, claimed = _claim_to_map(comp, points, valid, cfg)
+    claim, loc, claimed = _claim_to_map(comp, points, valid, cfg,
+                                        tables=tables)
     cidx = jnp.where(claimed, claim, 0)
     cdm = colors - batch.rgb_means[cidx]            # demeaned colors (:169-171)
     Xb, Cb, Mb = _bank_points(claim, loc, cdm, claimed, B, P)
@@ -218,6 +344,8 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     state = init if init is not None else init_state(dt)
     # apply any initial pose
     pts0 = transforms.apply(scan_points, state.R_cloud, state.t_cloud)
+    # candidate tables are invariant across the gradient loop
+    tables = _map_claim_tables(comp)
 
     def cond(carry):
         st, _ = carry
@@ -230,7 +358,7 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     def body(carry):
         st, pts = carry
         delta, ls, cls, _ = compute_transformation(
-            comp, pts, scan_colors, scan_valid, cfg, rcfg)
+            comp, pts, scan_colors, scan_valid, cfg, rcfg, tables=tables)
         R = transforms.euler_xyz(rcfg.step * delta[3:])
         t = rcfg.step * delta[:3]
         new = RegistrationState(
