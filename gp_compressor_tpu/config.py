@@ -105,6 +105,13 @@ class RegistrationConfig:
     min_steps: int = 10
     grad_tol: float = 0.1        # convergence: |dt|<tol and |dr|<tol
     color_blend: float = 1.0     # alpha: 1 => depth-only gradient (gp_registration.cpp:198)
+    # Re-run the scan->map claims pass every k-th gradient step. The
+    # reference re-bins every step (k=1); between re-claims, banked points
+    # ride the accumulated transform and are merely re-clipped against
+    # their claiming patch, so per-step motion (~step * gradient, mm scale)
+    # cannot silently leave stale assignments for long. The claims pass is
+    # ~95% of a step's device time (PARITY.md divergence 10).
+    reclaim_every: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -329,6 +329,52 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
     return delta, ls, cls, jnp.sum(Mb)
 
 
+def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
+               rcfg: RegistrationConfig, depth_kp, rgb_kp,
+               Wb, Cb, Mb, centers):
+    """One gradient evaluation on pre-banked WORLD points.
+
+    Re-derives local coordinates from the current banked world positions
+    (the bank rides the accumulated transform between re-claims) and
+    re-applies the claiming patch's sphere + frame-clip tests as a mask —
+    at a re-claim step this reproduces compute_transformation exactly.
+    Returns (delta [6], mean likelihood, mean color likelihood, n_used).
+    """
+    batch = comp.patch
+    res = jnp.asarray(cfg.patch.res, Wb.dtype)
+    half = res / 2.0
+    r2 = (voxel.SQRT3_2 * res) ** 2
+
+    rel = Wb - batch.means[:, None, :]
+    loc = jnp.einsum('bji,bpj->bpi', batch.rotations, rel)      # R^T rel
+    d2 = jnp.sum((Wb - centers[:, None, :]) ** 2, axis=-1)
+    m = (Mb & (d2 <= r2)
+         & (loc[..., 1] <= half) & (loc[..., 1] >= -half)
+         & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
+    Xb = jnp.where(m[..., None], loc, 0.0)
+
+    dX = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp, Xb, m)
+    dCX = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp, Xb, Cb, m)
+    a = rcfg.color_blend
+    dX = a * dX + (1.0 - a) * dCX                   # :198-199
+
+    gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX)
+    J = jax.vmap(jax.vmap(transforms.transform_jacobian))(Wb)   # [B,P,3,6]
+    contrib = jnp.einsum('bpi,bpij->bpj', gw, J)                # [B,P,6]
+    n_used = jnp.maximum(jnp.sum(m), 1)
+    delta = jnp.sum(jnp.where(m[..., None], contrib, 0.0), axis=(0, 1)) / n_used
+
+    ll = jax.vmap(lambda st, x, mm: jnp.where(
+        mm, sparse_gp.likelihood(depth_kp, cfg.depth_gp.s20, st,
+                                 x[:, 1:], x[:, :1]), 0.0))(comp.depth_gp, Xb, m)
+    cl = jax.vmap(lambda st, x, c, mm: jnp.where(
+        mm, sparse_gp.likelihood(rgb_kp, cfg.rgb_gp.s20, st, x[:, 1:], c),
+        0.0))(comp.rgb_gp, Xb, Cb, m)
+    ls = jnp.sum(ll) / n_used
+    cls = jnp.sum(cl) / n_used
+    return delta, ls, cls, jnp.sum(m)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rcfg"))
 def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
              cfg: CompressorConfig,
@@ -338,6 +384,14 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     registration_step until registration_done, src/gp_registration.cpp:60-92,
     gp_mapping::add_cloud loop src/gp_mapping.cpp:18-20).
 
+    The scan->map claims pass (the reference's per-step octree re-binning,
+    src/gp_registration.cpp:78) dominates a step's device time but its
+    result changes only marginally under the mm-scale per-step motion, so
+    it runs every rcfg.reclaim_every steps: points are claimed and banked
+    [B, P] once, then the bank rides the accumulated rigid transform and is
+    re-clipped against its claiming patch each step (see _bank_step).
+    rcfg.reclaim_every=1 reproduces the reference's cadence exactly.
+
     Returns (state, transformed scan points).
     """
     dt = scan_points.dtype
@@ -346,9 +400,21 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     pts0 = transforms.apply(scan_points, state.R_cloud, state.t_cloud)
     # candidate tables are invariant across the gradient loop
     tables = _map_claim_tables(comp)
+    batch = comp.patch
+    B = batch.rotations.shape[0]
+    P = cfg.patch.max_points_per_patch
+    centers = voxel.voxel_centers(batch.grid)[:B]
+    dkp, ckp = default_params(cfg)
+
+    def rebank(pts):
+        claim, _, claimed = _claim_to_map(comp, pts, scan_valid, cfg,
+                                          tables=tables)
+        cidx = jnp.where(claimed, claim, 0)
+        cdm = scan_colors - batch.rgb_means[cidx]   # demeaned colors (:169-171)
+        return _bank_points(claim, pts, cdm, claimed, B, P)
 
     def cond(carry):
-        st, _ = carry
+        st = carry[0]
         done = (st.step_nbr > rcfg.min_steps) & (
             (st.step_nbr >= rcfg.max_steps)
             | ((jnp.linalg.norm(st.delta[:3]) < rcfg.grad_tol)
@@ -356,18 +422,25 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
         return ~done
 
     def body(carry):
-        st, pts = carry
-        delta, ls, cls, _ = compute_transformation(
-            comp, pts, scan_colors, scan_valid, cfg, rcfg, tables=tables)
+        st, pts, Wb, Cb, Mb = carry
+        Wb, Cb, Mb = lax.cond(
+            st.step_nbr % rcfg.reclaim_every == 0,
+            lambda args: rebank(args[0]), lambda args: args[1:],
+            (pts, Wb, Cb, Mb))
+        delta, ls, cls, _ = _bank_step(comp, cfg, rcfg, dkp, ckp,
+                                       Wb, Cb, Mb, centers)
         R = transforms.euler_xyz(rcfg.step * delta[3:])
         t = rcfg.step * delta[:3]
         new = RegistrationState(
             R_cloud=R @ st.R_cloud, t_cloud=st.t_cloud + t, delta=delta,
             step_nbr=st.step_nbr + 1, mean_likelihood=ls,
             mean_color_likelihood=cls)
-        return new, transforms.apply(pts, R, t)
+        return (new, transforms.apply(pts, R, t),
+                transforms.apply(Wb, R, t), Cb, Mb)
 
-    state, pts = lax.while_loop(cond, body, (state, pts0))
+    carry0 = (state, pts0, jnp.zeros((B, P, 3), dt), jnp.zeros((B, P, 3), dt),
+              jnp.zeros((B, P), bool))
+    state, pts = lax.while_loop(cond, body, carry0)[:2]
     return state, pts
 
 

@@ -1,0 +1,44 @@
+import dataclasses, time
+import numpy as np
+import jax, jax.numpy as jnp
+from gp_compressor_tpu.config import (CompressorConfig, GPConfig, PatchConfig,
+                                      RegistrationConfig, rgb_gp_config)
+from gp_compressor_tpu.utils import synthetic
+from gp_compressor_tpu.geometry import transforms
+from gp_compressor_tpu.workloads import compressor, registration
+
+N = 150_000
+cfg = CompressorConfig(
+    patch=PatchConfig(res=0.4, sz=30, max_patches=2048,
+                      max_points_per_patch=256, approx_sphere_moments=True),
+    depth_gp=GPConfig(capacity=30, slots=32, eps_tol=2.0),
+    rgb_gp=dataclasses.replace(rgb_gp_config(slots=32, capacity=30), eps_tol=2.0),
+)
+rcfg = RegistrationConfig(step=0.01, max_steps=100, min_steps=10, grad_tol=1e-4)
+
+pts_np, cols_np = synthetic.room_cloud(n=N, seed=0)
+pts = jnp.asarray(pts_np); cols = jnp.asarray(cols_np)
+valid = jnp.ones(N, bool)
+comp = compressor.compress(pts, cols, valid, cfg, jax.random.key(0), use_pallas=True)
+jax.block_until_ready(comp.depth_gp.C)
+
+# perturbed scan
+Rt = transforms.euler_xyz(jnp.asarray([0.01, -0.008, 0.012]))
+tt = jnp.asarray([0.03, -0.02, 0.025])
+scan = transforms.apply(pts, Rt, tt)
+
+st, out_pts = registration.register(comp, scan, cols, valid, cfg, rcfg)
+print("steps:", int(st.step_nbr), "ll:", float(st.mean_likelihood))
+terr, rerr = registration.registration_error(st.R_cloud, st.t_cloud, Rt, tt)
+print("t_err:", float(terr), "r_err:", float(rerr))
+
+ts = []
+for i in range(3):
+    t0 = time.perf_counter()
+    st, _ = registration.register(comp, scan, cols, valid, cfg, rcfg)
+    _ = float(st.mean_likelihood)
+    ts.append(time.perf_counter() - t0)
+steps = int(st.step_nbr)
+w = min(ts)
+print(f"register wall: {w*1e3:.1f} ms for {steps} steps -> {w/max(steps,1)*1e3:.2f} ms/step, {N*steps/w/1e6:.2f} Mpoint-evals/s")
+print("device:", jax.devices()[0])

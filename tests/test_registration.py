@@ -82,3 +82,40 @@ def test_registration_identity_stays_put():
         jnp.ones(spts.shape[0], bool), CFG, rcfg)
     drift = np.linalg.norm(np.asarray(aligned) - spts_np, axis=1).mean()
     assert drift < 0.02, drift
+
+
+def test_bank_step_matches_compute_transformation():
+    """At a re-claim step the banked-loop gradient (register's inner body)
+    must reproduce compute_transformation exactly: the bank's re-applied
+    sphere + frame-clip tests are the claim's own acceptance tests."""
+    from gp_compressor_tpu.geometry import voxel
+    from gp_compressor_tpu.workloads.compressor import default_params
+
+    (mpts, mcols), (spts_np, scols_np) = _map_and_scan()
+    valid_m = jnp.ones(mpts.shape[0], bool)
+    comp = compressor.compress(mpts, mcols, valid_m, CFG, jax.random.key(0))
+    spts = jnp.asarray(spts_np + np.array([0.02, -0.01, 0.015]), jnp.float64)
+    scols = jnp.asarray(scols_np, jnp.float64)
+    valid = jnp.ones(spts.shape[0], bool)
+    rcfg = RegistrationConfig()
+
+    ref = registration.compute_transformation(comp, spts, scols, valid,
+                                              CFG, rcfg)
+
+    batch = comp.patch
+    B = batch.rotations.shape[0]
+    P = CFG.patch.max_points_per_patch
+    dkp, ckp = default_params(CFG)
+    claim, _, claimed = registration._claim_to_map(comp, spts, valid, CFG)
+    cdm = scols - batch.rgb_means[jnp.where(claimed, claim, 0)]
+    Wb, Cb, Mb = registration._bank_points(claim, spts, cdm, claimed, B, P)
+    centers = voxel.voxel_centers(batch.grid)[:B]
+    out = registration._bank_step(comp, CFG, rcfg, dkp, ckp, Wb, Cb, Mb,
+                                  centers)
+
+    # loc is re-derived through a differently associated einsum, so exact
+    # bit equality is not expected — but the masks and gradients must agree
+    # to fp-noise level
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-9)
