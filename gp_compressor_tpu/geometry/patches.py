@@ -115,30 +115,25 @@ def grid_cell(uv: jnp.ndarray, res, sz: int) -> jnp.ndarray:
     return sz * cx + cy
 
 
-def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
-    """Shared passes 1+2 (plane fits + first-claim) used by both the GP
-    front-end (build_patches) and the K-SVD rasterizer
-    (build_raster_patches — reference pointcloud_compressor::project_cloud,
-    src/pointcloud_compressor.cpp:119-165, same octree/radius/claim logic).
+def sphere_moments(grid: VoxelGrid, points: jnp.ndarray, valid: jnp.ndarray,
+                   cfg: PatchConfig):
+    """Per-leaf 4x4 homogeneous second moments over each leaf's search-
+    sphere support — pass 1 of the front end, shared by the compressor
+    (claim_points) and the mapping insert (map_insert), matching the
+    reference which computes rotations over the radius-search sphere
+    before claiming (src/gp_compressor.cpp:226-237, src/gp_mapping.cpp:129-134).
 
-    Returns (grid, R [B,3,3], centers_all [B,3], claim [N], loc_claim [N,3],
-    claimed [N]).
+    Returns (M [B, 4, 4], counts [B]) indexed by SORTED SLOT of `grid`.
+    Only the 10 unique entries of the symmetric moment are accumulated
+    (upper triangle, row-major); cfg.approx_sphere_moments switches to the
+    octant-resolution single-scatter approximation.
     """
-    B = cfg.max_patches
+    B = grid.keys.shape[0]
     dt = points.dtype
     N = points.shape[0]
-    res = jnp.asarray(cfg.res, dt)
-
-    grid = voxel.build_grid(points, valid, cfg.res, B, cfg.max_cells)
+    res = grid.res
     offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                for dz in (-1, 0, 1)]
-
-    # ---- pass 1: plane fits over *all* sphere points (claimed or not),
-    # matching the reference which computes rotations before claiming
-    # (src/gp_compressor.cpp:226-237). One segment-sum per neighbour offset
-    # keeps memory O(N). Only the 10 unique entries of the symmetric 4x4
-    # homogeneous moment are accumulated (upper triangle, row-major);
-    # _sym10_to_44 re-expands before the eigensolve.
     h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)        # [N,4]
     hh = h[:, jnp.asarray(_SYM_I)] * h[:, jnp.asarray(_SYM_J)]          # [N,10]
     if cfg.approx_sphere_moments:
@@ -193,6 +188,27 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
             sphere_counts = sphere_counts + jax.ops.segment_sum(
                 ok.astype(jnp.int32), seg, num_segments=B + 1)[:B]
         M = _sym10_to_44(M)
+    return M, sphere_counts
+
+
+def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
+    """Shared passes 1+2 (plane fits + first-claim) used by both the GP
+    front-end (build_patches) and the K-SVD rasterizer
+    (build_raster_patches — reference pointcloud_compressor::project_cloud,
+    src/pointcloud_compressor.cpp:119-165, same octree/radius/claim logic).
+
+    Returns (grid, R [B,3,3], centers_all [B,3], claim [N], loc_claim [N,3],
+    claimed [N]).
+    """
+    B = cfg.max_patches
+    dt = points.dtype
+    N = points.shape[0]
+    res = jnp.asarray(cfg.res, dt)
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+
+    grid = voxel.build_grid(points, valid, cfg.res, B, cfg.max_cells)
+    M, sphere_counts = sphere_moments(grid, points, valid, cfg)
     R = rotation.rotation_from_moment_batch(M, sphere_counts,
                                             cfg.min_points_for_rotation)
 

@@ -146,6 +146,105 @@ def voxel_centers(grid: VoxelGrid) -> jnp.ndarray:
     return grid.origin + (keys3.astype(grid.origin.dtype) + 0.5) * grid.res
 
 
+class RayWalkState(NamedTuple):
+    """Per-ray Amanatides–Woo traversal state (batched over N rays).
+
+    The exact TPU-native replacement for the reference's recursive octree
+    ray traversal (gp_octree::get_intersected_gps, src/gp_octree.cpp:66-206):
+    every voxel the ray passes through inside the grid box is visited once,
+    in order of increasing ray parameter t — no fixed-step sampling, no
+    skipped voxels regardless of ray length. All state is [N]-vector
+    elementwise math (VPU work), advanced one voxel per call under a
+    fori_loop with a static step bound (see max_walk_steps)."""
+
+    X: jnp.ndarray        # [N, 3] int32 current voxel key
+    tmax: jnp.ndarray     # [N, 3] ray param of the next boundary per axis
+    tdelta: jnp.ndarray   # [N, 3] param width of one voxel per axis
+    stepv: jnp.ndarray    # [N, 3] int32 per-axis step (-1, 0, +1)
+    t: jnp.ndarray        # [N] entry param of the current voxel
+    t_end: jnp.ndarray    # [N] param at which the walk leaves the grid
+    active: jnp.ndarray   # [N] bool — current voxel is a real visit
+
+
+def max_walk_steps(dims) -> int:
+    """Static iteration bound covering any ray through a dims grid: a
+    segment crossing the whole box passes through at most
+    dims_x + dims_y + dims_z + 1 voxels."""
+    import numpy as _np
+    return int(_np.sum(_np.asarray(dims))) + 2
+
+
+def ray_walk_init(origin, dims, res, cam, delta, t_stop=None) -> RayWalkState:
+    """Start a batched voxel walk of rays p(t) = cam + t * delta, t >= 0.
+
+    cam: [3] shared ray origin (the scan camera); delta: [N, 3] directions
+    (typically point - cam so the measured point sits at t = 1). The walk
+    spans the intersection of [0, t_stop] (t_stop=None -> until grid exit,
+    matching the reference traversal which continues past the measured
+    point) with the grid box.
+    """
+    dt = delta.dtype
+    N = delta.shape[0]
+    big = jnp.asarray(3.4e38, dt)
+    res = jnp.asarray(res, dt)
+    lo = origin
+    hi = origin + dims.astype(dt) * res
+    c = cam[None, :]
+    d = delta
+
+    nz = d != 0
+    dsafe = jnp.where(nz, d, 1.0)
+    t1 = jnp.where(nz, (lo - c) / dsafe, jnp.where(c >= lo, -big, big))
+    t2 = jnp.where(nz, (hi - c) / dsafe, jnp.where(c <= hi, big, -big))
+    tlo = jnp.minimum(t1, t2)
+    thi = jnp.maximum(t1, t2)
+    t_enter = jnp.maximum(jnp.max(tlo, axis=-1), 0.0)              # [N]
+    t_exit = jnp.min(thi, axis=-1)
+    if t_stop is not None:
+        t_exit = jnp.minimum(t_exit, t_stop)
+    ok = t_enter < t_exit
+
+    # entry voxel: nudge just inside the box so boundary floors resolve
+    eps = jnp.maximum(1e-6 * (t_exit - t_enter), 0.0)
+    p0 = c + (t_enter + eps)[:, None] * d
+    X0 = jnp.clip(point_keys(p0, origin, res), 0, dims - 1)
+
+    stepv = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
+    next_bound = lo + (X0 + (stepv > 0)).astype(dt) * res
+    tmax = jnp.where(nz, (next_bound - c) / dsafe, big)
+    tdelta = jnp.where(nz, res / jnp.abs(dsafe), big)
+    return RayWalkState(X=X0, tmax=tmax, tdelta=tdelta, stepv=stepv,
+                        t=t_enter, t_end=t_exit, active=ok)
+
+
+def ray_walk_step(st: RayWalkState, dims) -> RayWalkState:
+    """Advance every ray to its next voxel (one Amanatides–Woo step)."""
+    axis = jnp.argmin(st.tmax, axis=-1)                            # [N]
+    onehot = jax.nn.one_hot(axis, 3, dtype=st.tmax.dtype)
+    t_next = jnp.min(st.tmax, axis=-1)
+    X = st.X + (onehot.astype(jnp.int32) * st.stepv)
+    tmax = st.tmax + onehot * st.tdelta
+    inb = jnp.all((X >= 0) & (X < dims), axis=-1)
+    active = st.active & (t_next < st.t_end) & inb
+    return st._replace(X=X, tmax=tmax, t=t_next, active=active)
+
+
+def ray_voxel_list(origin, dims, res, cam, delta, max_steps: int,
+                   t_stop=None):
+    """Debug/oracle helper: collect the visited linear keys of every ray.
+    Returns ([N, max_steps] int32 linear keys, _FILL padded; [N] counts)."""
+    st = ray_walk_init(origin, dims, res, cam, delta, t_stop=t_stop)
+
+    def body(st, _):
+        lin = linearize(st.X, dims)
+        out = jnp.where(st.active, lin, _FILL)
+        return ray_walk_step(st, dims), out
+
+    st, keys = jax.lax.scan(body, st, None, length=max_steps)
+    keys = keys.T                                                  # [N, S]
+    return keys, jnp.sum(keys != _FILL, axis=-1)
+
+
 def candidate_at_offset(grid: VoxelGrid, points: jnp.ndarray,
                         valid: jnp.ndarray, offset) -> tuple:
     """Leaf candidacy of each point at ONE of its 27 neighbour offsets.

@@ -114,16 +114,21 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
         cstates = sparse_gp.add_points_batch(
             rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb,
             batch.mask, jax.random.split(kc, B))
-    # a 1/5 subsample of the prediction grid suffices as health probes —
-    # a diverged patch blows up everywhere, not at isolated cells
-    probes = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)[::5]
+    # a 1/5 subsample of the prediction grid suffices as health probes
+    # when the length-scale covers the patch footprint (a diverged patch
+    # then blows up everywhere, not at isolated cells); with a short
+    # calibrated length-scale (l < res) a blow-up can be local to a few
+    # grid cells, so probe the full grid in that regime
+    grid = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)
+    dprobes = grid[::5] if cfg.depth_gp.l_sq >= cfg.patch.res ** 2 else grid
+    cprobes = grid[::5] if cfg.rgb_gp.l_sq >= cfg.patch.res ** 2 else grid
     # health bounds ~10x beyond any legitimate posterior: depth lives
     # within +-res of the patch plane, colors within +-255 of the mean
     dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, cfg.depth_gp.s20,
                                           max_pred=10.0 * cfg.patch.res,
-                                          probes=probes)
+                                          probes=dprobes)
     cstates, _ = sparse_gp.sanitize_batch(cstates, rgb_kp, cfg.rgb_gp.s20,
-                                          max_pred=2.5e3, probes=probes)
+                                          max_pred=2.5e3, probes=cprobes)
     return CompressedCloud(patch=batch, depth_gp=dstates, rgb_gp=cstates)
 
 

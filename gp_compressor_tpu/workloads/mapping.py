@@ -141,15 +141,18 @@ def _linkey(state: MapState, res, points):
     return jnp.where(ok, lin, -1), ok
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "min_nbr"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "use_pallas"))
 def map_insert(state: MapState, points, colors, valid,
                cfg: CompressorConfig, mcfg: MappingConfig,
-               key: jax.Array, min_nbr: int) -> MapState:
+               key: jax.Array, min_nbr, use_pallas: bool = False) -> MapState:
     """insert_into_map + train_processes (src/gp_mapping.cpp:37-152,293-343).
 
     `points` must already be in world/map coordinates (the caller applies
     the registered pose). min_nbr=1 reproduces the first-cloud constructor
-    path (gp_compressor::project_cloud trains every leaf, no threshold).
+    path (gp_compressor::project_cloud trains every leaf, no threshold);
+    it is a traced scalar so the first-scan switch costs no retrace.
+    use_pallas routes the incremental GP training through the fused
+    VMEM-resident kernel (TPU only).
     """
     B = cfg.patch.max_patches
     G = cfg.patch.sz ** 2
@@ -202,20 +205,18 @@ def map_insert(state: MapState, points, colors, valid,
 
     # ---- 2. sphere stats for would-be-new patches (plane fits from the
     # CURRENT scan's sphere points, as the reference does
-    # src/gp_mapping.cpp:129-134) -----------------------------------------
-    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-               for dz in (-1, 0, 1)]
-    h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)
-    hh = h[:, :, None] * h[:, None, :]
-    M = jnp.zeros((B, 4, 4), dt)
-    sphere_counts = jnp.zeros((B,), jnp.int32)
-    for off in offsets:
-        idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
-        gid = jnp.where(ok, leaf_ids[idx], B)
-        M = M + jax.ops.segment_sum(hh * ok[:, None, None], gid,
-                                    num_segments=B + 1)[:B]
-        sphere_counts = sphere_counts + jax.ops.segment_sum(
-            ok.astype(jnp.int32), gid, num_segments=B + 1)[:B]
+    # src/gp_mapping.cpp:129-134). Shared front-end pass: 10-entry packed
+    # moments (+ optional octant-table approximation) per sorted slot,
+    # remapped to gp_index order through leaf_ids.
+    from gp_compressor_tpu.geometry import patches as patches_mod
+
+    M_slot, cnt_slot = patches_mod.sphere_moments(grid, points, valid,
+                                                  cfg.patch)
+    slot_tgt = jnp.where(jnp.arange(B) < n_patches, leaf_ids, B)
+    M = jnp.zeros((B + 1, 4, 4), dt).at[slot_tgt].set(
+        M_slot, mode='drop')[:B]
+    sphere_counts = jnp.zeros((B + 1,), jnp.int32).at[slot_tgt].set(
+        cnt_slot, mode='drop')[:B]
     R_fresh = rotation.rotation_from_moment_batch(
         M, sphere_counts, cfg.patch.min_points_for_rotation)
 
@@ -400,16 +401,40 @@ def _bank_training_points(claim, claimed, uv, depth, cols, B, P):
     return Xb, Yb, Cb, Mb
 
 
+def required_ray_steps(world_min, world_max, res) -> int:
+    """Static DDA step bound for exact traversal of the map's world box
+    (any segment through the grid crosses <= sum(dims) + 1 voxels). Pass
+    as MappingConfig.max_ray_steps when exact carving is required."""
+    dims = np.floor((np.asarray(world_max, np.float64)
+                     - np.asarray(world_min, np.float64)) / res).astype(int) + 1
+    return int(dims.sum()) + 2
+
+
 def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
                       means, free, points, hit_valid, hit_claim,
                       cfg: CompressorConfig, mcfg: MappingConfig):
-    """Batched ray-voxel DDA replacing gp_octree::get_intersected_gps
+    """Exact batched ray->voxel traversal (Amanatides-Woo DDA,
+    geometry.voxel.ray_walk_*) replacing gp_octree::get_intersected_gps
     (src/gp_octree.cpp:66-206) + the marking logic of train_classification
-    (src/gp_mapping.cpp:154-211): walk each camera->point ray through the
-    voxel grid; every created patch crossed strictly before the hit patch
-    gets its plane-crossing cell marked free=True; the hit patch's cell is
-    marked free=False. Patches beyond the hit are untouched. Within one
-    insertion a hit (False) wins over a crossing (True)."""
+    (src/gp_mapping.cpp:154-211).
+
+    Reference semantics reproduced: walk each camera ray through EVERY
+    intersected voxel of the grid (the reference traversal continues past
+    the measured point — the claimed/hit patch's voxel can sit slightly
+    beyond it when a neighbour leaf claimed the point); latch the step at
+    which the ray passes the hit patch's voxel; if it never does, mark
+    nothing for that ray (the reference's reached_gp latch,
+    src/gp_mapping.cpp:175-190). Every created patch whose voxel is
+    crossed strictly before the hit gets its plane-crossing cell marked
+    free=True; the hit patch's cell is marked free=False. Within one
+    insertion a hit (False) wins over a crossing (True) — documented
+    divergence from the reference's serial last-ray-wins.
+
+    mcfg.max_ray_steps is the static per-ray voxel bound; set it to
+    required_ray_steps(...) for exactness on rays up to the world diagonal
+    (parity-tested against a NumPy traversal oracle in
+    tests/test_ray_walk.py / test_mapping.py).
+    """
     B = cfg.patch.max_patches
     G = cfg.patch.sz ** 2
     sz = cfg.patch.sz
@@ -419,25 +444,38 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
     N = points.shape[0]
     cam = state.t_cloud.astype(dt)                       # camera position
     delta = points - cam                                 # ray directions
-
+    dims = state.dims
+    ncells = key_to_leaf.shape[0]
     steps = mcfg.max_ray_steps
-    # sample the ray at fixed fractional steps fine enough to touch every
-    # crossed voxel (step length <= res/2 along the dominant axis)
-    tvals = (jnp.arange(steps, dtype=dt) + 0.5) / steps  # (0, 1)
+    bigstep = jnp.iinfo(jnp.int32).max
+
+    def gid_of(st):
+        lin = voxel.linearize(st.X, dims)
+        act = st.active & hit_valid & (lin != voxel._FILL)
+        return jnp.where(act, key_to_leaf[jnp.clip(lin, 0, ncells - 1)], -1)
+
+    # ---- pass 1: step index of each ray's hit-patch voxel ---------------
+    def p1_body(s, carry):
+        st, s_hit = carry
+        g = gid_of(st)
+        is_hit = (g >= 0) & (g == hit_claim) & created[jnp.maximum(g, 0)]
+        s_hit = jnp.where(is_hit & (s_hit == bigstep), s, s_hit)
+        st = voxel.ray_walk_step(st, dims)
+        # a latched ray is done; the rest walk to grid exit like the
+        # reference traversal
+        return st._replace(active=st.active & (s_hit == bigstep)), s_hit
+
+    st0 = voxel.ray_walk_init(state.origin, dims, res, cam, delta)
+    _, s_hit = jax.lax.fori_loop(
+        0, steps, p1_body, (st0, jnp.full((N,), bigstep, jnp.int32)))
+
+    # ---- pass 2: plane-crossing marks up to (and at) the hit ------------
     free_marks = jnp.zeros((B * G + 1,), bool)
     hit_marks = jnp.zeros((B * G + 1,), bool)
 
-    ncells = key_to_leaf.shape[0]
-
-    def mark_at(t, carry):
-        free_marks, hit_marks = carry
-        p = cam[None, :] + tvals[t] * delta               # [N, 3]
-        keys3 = voxel.point_keys(p, state.origin, res)
-        inb = jnp.all((keys3 >= 0) & (keys3 < state.dims), axis=-1)
-        lin = (keys3[..., 0] * state.dims[1] + keys3[..., 1]) * state.dims[2] \
-            + keys3[..., 2]
-        gid = jnp.where(inb & hit_valid,
-                        key_to_leaf[jnp.clip(lin, 0, ncells - 1)], -1)
+    def p2_body(s, carry):
+        st, free_marks, hit_marks = carry
+        gid = gid_of(st)
         ok = (gid >= 0) & created[jnp.maximum(gid, 0)]
         g = jnp.maximum(gid, 0)
         n = rotations[g][:, :, 0]                         # patch normals
@@ -452,19 +490,19 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
                         0, sz - 1) * sz + \
             jnp.clip((sz * (loc[:, 2] / res + 0.5)).astype(jnp.int32),
                      0, sz - 1)
-        # samples run only to t=1 (the measured point), so patches beyond
-        # the hit are never touched — matching the far-to-near skip loop of
-        # train_classification (src/gp_mapping.cpp:175-190)
-        is_hit = gid == hit_claim
-        okm = ok & clip_ok & inb
-        f_idx = jnp.where(okm & ~is_hit, g * G + cell, B * G)
-        h_idx = jnp.where(okm & is_hit, g * G + cell, B * G)
+        # rays that never pass their hit patch's voxel mark nothing (the
+        # reference's reached_gp latch never fires for them)
+        okm = ok & clip_ok & (s_hit != bigstep)
+        f_idx = jnp.where(okm & (s < s_hit), g * G + cell, B * G)
+        h_idx = jnp.where(okm & (s == s_hit), g * G + cell, B * G)
         free_marks = free_marks.at[f_idx].set(True)
         hit_marks = hit_marks.at[h_idx].set(True)
-        return free_marks, hit_marks
+        st = voxel.ray_walk_step(st, dims)
+        return (st._replace(active=st.active & (s < s_hit)),
+                free_marks, hit_marks)
 
-    free_marks, hit_marks = jax.lax.fori_loop(
-        0, steps, mark_at, (free_marks, hit_marks))
+    _, free_marks, hit_marks = jax.lax.fori_loop(
+        0, steps, p2_body, (st0, free_marks, hit_marks))
     fm = free_marks[:B * G].reshape(B, G)
     hm = hit_marks[:B * G].reshape(B, G)
     return (free | fm) & ~hm

@@ -396,6 +396,10 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     """
     dt = scan_points.dtype
     state = init if init is not None else init_state(dt)
+    # cadence is loop-local (steps since register() entry), so a resumed
+    # state with step_nbr not a multiple of reclaim_every still banks on
+    # the first body iteration instead of stepping on all-zero banks
+    init_step = state.step_nbr
     # apply any initial pose
     pts0 = transforms.apply(scan_points, state.R_cloud, state.t_cloud)
     # candidate tables are invariant across the gradient loop
@@ -424,7 +428,7 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     def body(carry):
         st, pts, Wb, Cb, Mb = carry
         Wb, Cb, Mb = lax.cond(
-            st.step_nbr % rcfg.reclaim_every == 0,
+            (st.step_nbr - init_step) % rcfg.reclaim_every == 0,
             lambda args: rebank(args[0]), lambda args: args[1:],
             (pts, Wb, Cb, Mb))
         delta, ls, cls, _ = _bank_step(comp, cfg, rcfg, dkp, ckp,

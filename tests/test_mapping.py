@@ -156,3 +156,94 @@ def test_occupancy_channel():
     if hit.sum() > 50 and carved.sum() > 50:
         assert p[hit].mean() > p[carved].mean() + 0.1, (
             p[hit].mean(), p[carved].mean())
+
+
+def test_carve_free_space_matches_serial_oracle():
+    """_carve_free_space (two-pass batched DDA) vs a serial NumPy
+    re-derivation of the reference's train_classification
+    (src/gp_mapping.cpp:154-211): full-grid traversal per ray, reached_gp
+    latch walking back from the far end, plane-crossing cell marks. The
+    mark-combination rule (hit beats free within one insertion) is the
+    repo's documented divergence and is applied identically in both."""
+    from tests.test_ray_walk import oracle_ray_voxels
+
+    state = _fresh_map()
+    pts, cols, valid = _cloud(4000, 11)
+    state, _ = mapping.add_cloud(state, pts, cols, valid, CFG, MCFG,
+                                 jax.random.key(0))
+
+    # fresh rays against the built map, claimed like map_insert does
+    rpts, rcols, rvalid = _cloud(600, 12)
+    from gp_compressor_tpu.workloads import registration
+    grid = state.grid(CFG.patch.res)
+    rot_p = jnp.concatenate([state.rotations,
+                             jnp.eye(3, dtype=jnp.float64)[None]], 0)
+    mean_p = jnp.concatenate([state.means, jnp.zeros((1, 3), jnp.float64)], 0)
+    trained_p = jnp.concatenate([state.created, jnp.zeros((1,), bool)])
+    ids_p = jnp.concatenate([state.leaf_ids,
+                             jnp.asarray([CFG.patch.max_patches], jnp.int32)])
+    claim, _, claimed = registration.claim_to_patches(
+        grid, rot_p, mean_p, trained_p, rpts, rvalid, CFG.patch.res,
+        leaf_ids=ids_p)
+
+    steps = mapping.required_ray_steps([-1.0, -1.0, -1.0], [4.0, 4.0, 4.0],
+                                       CFG.patch.res)
+    mcfg = MappingConfig(min_points_new_patch=40, max_ray_steps=steps)
+    got = np.asarray(mapping._carve_free_space(
+        state, state.key_to_leaf, state.created, state.rotations,
+        state.means, state.free, rpts, rvalid & claimed, claim, CFG, mcfg))
+
+    # ---- serial oracle --------------------------------------------------
+    origin = np.asarray(state.origin)
+    dims = np.asarray(state.dims)
+    res = CFG.patch.res
+    sz = CFG.patch.sz
+    cam = np.asarray(state.t_cloud, np.float64)
+    k2l = np.asarray(state.key_to_leaf)
+    created = np.asarray(state.created)
+    rot = np.asarray(state.rotations)
+    means = np.asarray(state.means)
+    B, G = np.asarray(state.free).shape
+    fm = np.zeros((B, G), bool)
+    hm = np.zeros((B, G), bool)
+    claim_np = np.asarray(claim)
+    hv = np.asarray(rvalid & claimed)
+    P = np.asarray(rpts, np.float64)
+    for i in range(len(P)):
+        if not hv[i]:
+            continue
+        delta = P[i] - cam
+        voxels = oracle_ray_voxels(origin, dims, res, cam, delta)
+        inter = [k2l[lin] for lin in voxels]
+        reached = False
+        marks = []                      # (m, cell, is_hit), far-to-near
+        for j in range(len(inter) - 1, -1, -1):
+            m = inter[j]
+            if m < 0 or not created[m]:
+                continue
+            if not reached:
+                if m == claim_np[i]:
+                    reached = True
+                else:
+                    continue
+            n = rot[m][:, 0]
+            mid = means[m]
+            den = n @ delta
+            if abs(den) <= 1e-12:
+                den = 1e-12
+            d = n @ (mid - cam) / den
+            inter_p = cam + d * delta
+            loc = rot[m].T @ (inter_p - mid)
+            if abs(loc[1]) > res / 2 or abs(loc[2]) > res / 2:
+                continue
+            x = int(sz * (loc[1] / res + 0.5))
+            y = int(sz * (loc[2] / res + 0.5))
+            cell = sz * min(max(x, 0), sz - 1) + min(max(y, 0), sz - 1)
+            if m == claim_np[i]:
+                hm[m, cell] = True
+            else:
+                fm[m, cell] = True
+    want = (np.asarray(state.free) | fm) & ~hm
+
+    agree = (got == want).mean()
+    assert agree == 1.0, (agree, np.argwhere(got != want)[:10])

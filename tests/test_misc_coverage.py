@@ -111,3 +111,55 @@ def test_phase_timer_and_metric_logger(tmp_path):
     log.close()
     lines = open(path).read().strip().splitlines()
     assert len(lines) == 2 and '"rmse": 0.25' in lines[1]
+
+
+def test_checkpoint_validates_treedef_and_shapes(tmp_path):
+    from gp_compressor_tpu.io import checkpoint
+
+    tree = {"a": jnp.arange(4.0), "b": (jnp.eye(2), jnp.zeros(3))}
+    path = os.path.join(tmp_path, "t.npz")
+    checkpoint.save(path, tree)
+    # same structure loads
+    back = checkpoint.load(path, jax.tree.map(jnp.zeros_like, tree))
+    assert np.array_equal(np.asarray(back["a"]), np.arange(4.0))
+    # different tree structure with the same leaf count must raise
+    import pytest
+    bad_struct = {"a": jnp.zeros(4), "c": (jnp.zeros((2, 2)), jnp.zeros(3))}
+    with pytest.raises(ValueError, match="treedef mismatch"):
+        checkpoint.load(path, bad_struct)
+    # shape mismatch must raise
+    bad_shape = {"a": jnp.zeros(5), "b": (jnp.zeros((2, 2)), jnp.zeros(3))}
+    with pytest.raises(ValueError, match="shape"):
+        checkpoint.load(path, bad_shape)
+    # leaf-count mismatch must raise (treedef check catches it first in
+    # strict mode; the count check guards strict=False too)
+    with pytest.raises(ValueError, match="mismatch"):
+        checkpoint.load(path, {"a": jnp.zeros(4)})
+    with pytest.raises(ValueError, match="leaves"):
+        checkpoint.load(path, {"a": jnp.zeros(4)}, strict=False)
+
+
+def test_checkpoint_sampler_state_resume(tmp_path):
+    """HMC chain state + typed PRNG key survive a checkpoint round trip and
+    the resumed sampler reproduces the uninterrupted chain bit-for-bit."""
+    from gp_compressor_tpu.inference.hmc import HMCChainState
+    from gp_compressor_tpu.io import checkpoint
+
+    dim = 3
+    st = HMCChainState(
+        theta=jnp.asarray([4.6, 0.0, -2.3]), logp=jnp.asarray(-12.5),
+        grad=jnp.asarray([0.1, -0.2, 0.3]), step_size=jnp.asarray(0.05),
+        h_bar=jnp.asarray(0.01), log_eps_bar=jnp.asarray(-3.0),
+        mu=jnp.asarray(-1.6), inv_mass=jnp.ones(dim),
+        accept_prob=jnp.asarray(0.83))
+    key = jax.random.key(42)
+    path = os.path.join(tmp_path, "sampler.npz")
+    checkpoint.save(path, (st, key), meta={"kind": "hmc"})
+    st2, key2 = checkpoint.load(path, (jax.tree.map(jnp.zeros_like, st),
+                                       jax.random.key(0)))
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the restored key drives identical randomness
+    assert np.array_equal(
+        np.asarray(jax.random.normal(key, (5,))),
+        np.asarray(jax.random.normal(key2, (5,))))
