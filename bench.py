@@ -14,6 +14,18 @@ is the measured single-CPU throughput of the serial float64 oracle
 (models/oracle.py — the same per-point O(N^2) loop the C++ runs), sampled
 on a subset and cached in baseline_cpu.json. vs_baseline = TPU / CPU
 points-per-second.
+
+Besides the headline, "extra" carries the other workload benchmarks
+(BASELINE.json's north-star configuration + the two remaining reference
+pipelines), each with honest device sync:
+  calibrated — compress+decompress with MAP-calibrated hyperparameters
+               (reference constants: src/rbf_kernel.h:24, src/sparse_gp.h:48)
+  nuts       — NUTS samples/s over the patch-bank hyperparameter posterior
+  registration — gradient-ascent scan-to-map alignment steps/s + recovered
+               pose error (src/gp_registration.cpp:73-92)
+  mapping    — full register->insert->carve scans/s, one fused dispatch
+               per scan (src/gp_mapping.cpp:12-35)
+Set GPTPU_BENCH_HEADLINE_ONLY=1 to skip the extra sections.
 """
 
 import dataclasses
@@ -185,7 +197,185 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+
+    if os.environ.get("GPTPU_BENCH_HEADLINE_ONLY") != "1":
+        for name, fn in (("calibrated", bench_calibrated),
+                         ("nuts", bench_nuts),
+                         ("registration", bench_registration),
+                         ("mapping", bench_mapping)):
+            try:
+                result["extra"][name] = fn(pts, cols, valid, cfg, comp,
+                                           use_pallas)
+            except Exception as e:                       # never lose headline
+                result["extra"][name] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(result))
+
+
+def _sync(*arrays):
+    """Honest device sync on the tunneled backend: one scalar fetch."""
+    import jax.numpy as jnp
+    return float(sum(jnp.sum(a) for a in arrays))
+
+
+def bench_calibrated(pts, cols, valid, cfg, comp, use_pallas):
+    """North-star configuration: compress+decompress with MAP-calibrated
+    (sigmaf^2, l^2, s20) — BASELINE.json:5."""
+    import jax
+    import jax.numpy as jnp
+
+    from gp_compressor_tpu.workloads import compressor
+
+    def run(key):
+        c, kp, s20, cal_cfg = compressor.compress_calibrated(
+            pts, cols, valid, cfg, key, use_pallas=use_pallas,
+            method="map", calib_patches=32, calib_points=64, calib_steps=60)
+        out = compressor.decompress(c, cal_cfg, depth_kp=kp)
+        return c, kp, cal_cfg, out
+
+    # warmup, then time with the SAME key: a different key gives a (float-)
+    # different calibrated config, whose static fields would force a full
+    # retrace of the train program — the timed run measures the production
+    # cadence (calibrate + train + decompress with warm caches)
+    c, kp, cal_cfg, out = run(jax.random.key(0))          # warmup/compile
+    _sync(out[0])
+    t0 = time.perf_counter()
+    c, kp, cal_cfg, out = run(jax.random.key(0))
+    _sync(out[0])
+    wall = time.perf_counter() - t0
+    rmse = float(compressor.reconstruction_rmse(c, cal_cfg, depth_kp=kp))
+    return {
+        "points_per_s": round(N_POINTS / wall, 1),
+        "wall_s": round(wall, 3),
+        "in_sample_rmse_m": round(rmse, 4),
+        "sigmaf_sq": round(float(kp.sigmaf_sq), 5),
+        "l_sq": round(float(kp.l_sq), 5),
+        "s20": round(cal_cfg.depth_gp.s20, 6),
+    }
+
+
+def bench_nuts(pts, cols, valid, cfg, comp, use_pallas):
+    """NUTS samples/s over the patch-bank hyperparameter posterior —
+    BASELINE.json's primary Bayesian metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from gp_compressor_tpu.config import HMCConfig
+    from gp_compressor_tpu.inference import hmc, nuts
+
+    batch = comp.patch
+    Bc, n = 16, 48
+    logpost = hmc.make_patch_logpost(batch.X[:Bc, :n], batch.y[:Bc, :n, 0],
+                                     batch.mask[:Bc, :n].astype(batch.X.dtype))
+    hcfg = HMCConfig(num_warmup=50, num_samples=100, num_chains=4)
+    theta0 = jnp.asarray([np.log(100.0), 0.0, np.log(0.1)], batch.X.dtype)
+    th0 = theta0[None, :] + 0.2 * jax.random.normal(
+        jax.random.key(7), (hcfg.num_chains, 3), batch.X.dtype)
+
+    samples, acc, _ = nuts.nuts_sample_chains(logpost, th0, jax.random.key(1),
+                                              hcfg)                 # compile
+    _sync(samples)
+    t0 = time.perf_counter()
+    samples, acc, _ = nuts.nuts_sample_chains(logpost, th0, jax.random.key(2),
+                                              hcfg)
+    _sync(samples)
+    wall = time.perf_counter() - t0
+    rhat = hmc.split_rhat(samples)
+    return {
+        "samples_per_s": round(hcfg.num_chains * hcfg.num_samples / wall, 1),
+        "wall_s": round(wall, 3),
+        "chains": hcfg.num_chains,
+        "accept": round(float(jnp.mean(acc)), 3),
+        "max_rhat": round(float(jnp.max(rhat)), 3),
+        "logpost_patches": Bc,
+    }
+
+
+def bench_registration(pts, cols, valid, cfg, comp, use_pallas):
+    """Scan-to-map registration at bench scale: full 300k-point scan vs the
+    compressed map, perturbed by a known rigid motion."""
+    import jax
+    import jax.numpy as jnp
+
+    from gp_compressor_tpu.config import RegistrationConfig
+    from gp_compressor_tpu.geometry import transforms
+    from gp_compressor_tpu.workloads import registration
+
+    rcfg = RegistrationConfig(max_steps=150, step=0.005)
+    ang = jnp.asarray([0.004, -0.003, 0.005], pts.dtype)
+    t_true = jnp.asarray([0.012, -0.009, 0.006], pts.dtype)
+    R_true = transforms.euler_xyz(ang)
+    moved = pts @ R_true.T + t_true
+
+    st, out = registration.register(comp, moved, cols, valid, cfg, rcfg)
+    _sync(out)                                            # compile
+    t0 = time.perf_counter()
+    st, out = registration.register(comp, moved, cols, valid, cfg, rcfg)
+    _sync(out)
+    wall = time.perf_counter() - t0
+    steps = int(st.step_nbr)
+    terr, rerr = registration.registration_error(st.R_cloud, st.t_cloud,
+                                                 R_true, t_true)
+    # alignment error in point space (the gp-accuracy metric): how much of
+    # the injected motion the registration actually removed
+    err0 = float(jnp.mean(jnp.linalg.norm(moved - pts, axis=1)))
+    err1 = float(jnp.mean(jnp.linalg.norm(out - pts, axis=1)))
+    return {
+        "steps_per_s": round(steps / wall, 1),
+        "steps": steps,
+        "wall_s": round(wall, 3),
+        "n_scan_points": int(pts.shape[0]),
+        "initial_mean_err_m": round(err0, 4),
+        "final_mean_err_m": round(err1, 4),
+        "trans_err_m": round(float(terr), 4),
+        "rot_err_rad": round(float(rerr), 4),
+        "reclaim_every": rcfg.reclaim_every,
+    }
+
+
+def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
+    """Incremental mapping: register->insert->carve scans/s over a stream
+    of 150k-point scans (one fused device dispatch per scan)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gp_compressor_tpu.config import MappingConfig, RegistrationConfig
+    from gp_compressor_tpu.workloads import mapping
+
+    lo = np.asarray(jnp.min(pts, 0)) - 0.3
+    hi = np.asarray(jnp.max(pts, 0)) + 0.3
+    steps = mapping.required_ray_steps(lo, hi, cfg.patch.res)
+    mcfg = MappingConfig(min_points_new_patch=50, max_ray_steps=steps)
+    rcfg = RegistrationConfig(max_steps=20, step=0.02)
+    state = mapping.map_init(cfg, mcfg, lo, hi, dtype=pts.dtype)
+
+    n_scans, Ns = 4, 150_000
+    scans = [(pts[i::2][:Ns], cols[i::2][:Ns], valid[i::2][:Ns])
+             for i in (0, 1)]
+
+    def one(state, i, k):
+        p, c, v = scans[i % 2]
+        return mapping.add_cloud_fused(state, p, c, v, cfg, mcfg,
+                                       jax.random.key(k), rcfg=rcfg,
+                                       use_pallas=use_pallas)
+
+    state, _, _ = one(state, 0, 0)                        # compile + seed map
+    _sync(state.means)
+    t0 = time.perf_counter()
+    for s in range(1, 1 + n_scans):
+        state, diverged, reg_steps = one(state, s, s)
+    _sync(state.means)
+    wall = time.perf_counter() - t0
+    return {
+        "scans_per_s": round(n_scans / wall, 3),
+        "wall_s_per_scan": round(wall / n_scans, 3),
+        "points_per_scan": Ns,
+        "n_patches": int(state.n_patches),
+        "ray_steps": steps,
+        "last_reg_steps": int(reg_steps),
+    }
 
 
 if __name__ == "__main__":

@@ -123,9 +123,77 @@ def cmd_decompress(args):
         print(f"wrote {args.out}")
 
 
+def _read_scan(path):
+    import numpy as np
+
+    from gp_compressor_tpu.io import native
+    pts, cols = native.read_pcd(path)
+    if cols is None:
+        cols = np.full_like(pts, 128.0)
+    return pts, cols
+
+
+def _gp_accuracy_tum(args):
+    """test_gp_accuracy on a real TUM-format dataset directory
+    (<dataset>/pointclouds/*.pcd + <dataset>/groundtruth.txt):
+    register frame pairs (i, i+stride) with the second frame voxel-filtered
+    at 1 cm, score the estimated motion against the timestamp-aligned
+    ground truth (src/test_gp_accuracy.cpp:93-186)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gp_compressor_tpu.config import RegistrationConfig
+    from gp_compressor_tpu.io import tum
+    from gp_compressor_tpu.workloads import compressor, registration
+
+    cfg = _gp_config(args)
+    files = tum.list_scan_files(os.path.join(args.dataset, "pointclouds"))
+    gt_path = os.path.join(args.dataset, "groundtruth.txt")
+    times, pos, quat = tum.read_ground_truth(gt_path)
+    stride = args.frame_stride
+    rcfg = RegistrationConfig(step=args.step, max_steps=args.max_steps)
+    results = []
+    for i in range(0, min(args.n_pairs * stride, len(files) - stride),
+                   stride):
+        p1, c1 = _read_scan(files[i])
+        p2, c2 = _read_scan(files[i + stride])
+        p2, c2 = tum.voxel_filter(p2, c2, leaf=0.01)   # :126-129
+        comp = compressor.compress(jnp.asarray(p1), jnp.asarray(c1),
+                                   jnp.ones(len(p1), bool), cfg,
+                                   jax.random.key(args.seed))
+        t0 = time.time()
+        state, _ = registration.register(
+            comp, jnp.asarray(p2), jnp.asarray(c2),
+            jnp.ones(len(p2), bool), cfg, rcfg)
+        q_gt, t_gt = tum.ground_truth_delta(
+            times, pos, quat,
+            tum.timestamp_from_filename(files[i]),
+            tum.timestamp_from_filename(files[i + stride]))
+        q_err, t_err = tum.pair_errors(np.asarray(state.R_cloud),
+                                       np.asarray(state.t_cloud), q_gt, t_gt)
+        res = {"pair": [i, i + stride], "steps": int(state.step_nbr),
+               "trans_err_m": round(t_err, 5), "rot_err": round(q_err, 5),
+               "gt_trans_m": round(float(np.linalg.norm(t_gt)), 5),
+               "mean_likelihood": round(float(state.mean_likelihood), 4),
+               "wall_s": round(time.time() - t0, 2)}
+        print(json.dumps(res))
+        results.append(res)
+    if results:
+        print(json.dumps({
+            "mean_trans_err_m": round(float(np.mean(
+                [r["trans_err_m"] for r in results])), 5),
+            "mean_rot_err": round(float(np.mean(
+                [r["rot_err"] for r in results])), 5),
+            "n_pairs": len(results)}))
+
+
 def cmd_gp_accuracy(args):
-    """test_gp_accuracy equivalent (src/test_gp_accuracy.cpp) with
-    synthetic ground truth: perturb, register, report per-step errors."""
+    """test_gp_accuracy equivalent (src/test_gp_accuracy.cpp): real
+    TUM-format dataset when --dataset is given, else synthetic ground
+    truth: perturb, register, report per-step errors."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -133,6 +201,9 @@ def cmd_gp_accuracy(args):
     from gp_compressor_tpu.config import RegistrationConfig
     from gp_compressor_tpu.utils import synthetic
     from gp_compressor_tpu.workloads import compressor, registration
+
+    if args.dataset:
+        return _gp_accuracy_tum(args)
 
     pts_np, cols_np = _load_cloud(args)
     half = len(pts_np) // 2
@@ -223,13 +294,32 @@ def cmd_gp_mapping(args):
     from gp_compressor_tpu.workloads import mapping
 
     cfg = _gp_config(args)
-    mcfg = MappingConfig()
-    pts0, _ = synthetic.room_cloud(n=args.n_points, seed=args.seed)
-    lo, hi = pts0.min(0) - 0.5, pts0.max(0) + 0.5
-    state = mapping.map_init(cfg, mcfg, lo, hi)
     rcfg = RegistrationConfig(step=args.step, max_steps=args.max_steps)
-    for k in range(args.n_scans):
-        pts, cols = synthetic.room_cloud(n=args.n_points, seed=args.seed + k)
+
+    if args.dataset:
+        # stream a TUM-format scan directory (test_gp_mapping_no_vis,
+        # src/test_gp_mapping_no_vis.cpp:34-69)
+        import os
+
+        from gp_compressor_tpu.io import tum
+        files = tum.list_scan_files(os.path.join(args.dataset,
+                                                 "pointclouds"))
+        if args.n_scans > 0:
+            files = files[:args.n_scans]
+        scans = (_read_scan(f) for f in files)
+        pts0, _ = _read_scan(files[0])
+        m = args.world_margin
+        lo, hi = pts0.min(0) - m, pts0.max(0) + m
+    else:
+        pts0, _ = synthetic.room_cloud(n=args.n_points, seed=args.seed)
+        lo, hi = pts0.min(0) - 0.5, pts0.max(0) + 0.5
+        scans = (synthetic.room_cloud(n=args.n_points, seed=args.seed + k)
+                 for k in range(args.n_scans))
+
+    steps = mapping.required_ray_steps(lo, hi, args.res)
+    mcfg = MappingConfig(max_ray_steps=steps)
+    state = mapping.map_init(cfg, mcfg, lo, hi)
+    for k, (pts, cols) in enumerate(scans):
         state, info = mapping.add_cloud(
             state, jnp.asarray(pts), jnp.asarray(cols),
             jnp.ones(len(pts), bool), cfg, mcfg, jax.random.key(k), rcfg)
@@ -298,6 +388,11 @@ def main(argv=None):
     sp.add_argument("--max-steps", type=int, default=150)
     sp.add_argument("--trans-mag", type=float, default=0.02)
     sp.add_argument("--rot-mag", type=float, default=0.005)
+    sp.add_argument("--dataset", help="TUM-format dir (pointclouds/*.pcd + "
+                    "groundtruth.txt); default: synthetic ground truth")
+    sp.add_argument("--frame-stride", type=int, default=5,
+                    help="pair stride (src/test_gp_accuracy.cpp:110)")
+    sp.add_argument("--n-pairs", type=int, default=1)
     sp.set_defaults(fn=cmd_gp_accuracy)
 
     sp = sub.add_parser("calibrate", help="Bayesian hyperparameter calibration")
@@ -310,6 +405,10 @@ def main(argv=None):
 
     sp = sub.add_parser("gp-mapping", help="incremental mapping demo")
     common(sp, res=0.2, sz=15)
+    sp.add_argument("--dataset", help="TUM-format dir to stream "
+                    "(src/test_gp_mapping_no_vis.cpp); default: synthetic")
+    sp.add_argument("--world-margin", type=float, default=3.0,
+                    help="map box inflation around the first scan [m]")
     sp.add_argument("--n-scans", type=int, default=5)
     sp.add_argument("--step", type=float, default=0.005)
     sp.add_argument("--max-steps", type=int, default=60)

@@ -46,13 +46,22 @@ def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
     n = X.shape[0]
     m2 = mask[:, None] * mask[None, :]
     K = kernels.gram(kp, X, X) * m2 + jnp.diag(jnp.where(mask > 0, s20, 1.0))
-    L = jnp.linalg.cholesky(K)
+    # double-where safe Cholesky: when a sampler proposal wanders to a
+    # numerically singular (sigmaf, l) the factorization goes NaN — and a
+    # plain `where(bad, -inf, ll)` still back-propagates NaN through the
+    # DEAD branch (0 * NaN in the cholesky vjp). Refactor a safe primal so
+    # both value AND gradient are clean; the -inf value rejects the move.
+    L_try = jnp.linalg.cholesky(K)
+    bad = ~jnp.all(jnp.isfinite(L_try))
+    K_safe = jnp.where(bad, jnp.eye(n, dtype=K.dtype), K)
+    L = jnp.linalg.cholesky(K_safe)
     ym = y * mask
     alpha = jax.scipy.linalg.cho_solve((L, True), ym)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
     quad = ym @ alpha
     neff = jnp.sum(mask)
-    return -0.5 * (quad + logdet + neff * jnp.log(2.0 * jnp.pi))
+    ll = -0.5 * (quad + logdet + neff * jnp.log(2.0 * jnp.pi))
+    return jnp.where(bad, jnp.asarray(-jnp.inf, ll.dtype), ll)
 
 
 def make_patch_logpost(X: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
@@ -64,13 +73,18 @@ def make_patch_logpost(X: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
     patch axis is the reduction that rides psum on a mesh. Default prior
     centers on the reference's constants (sigmaf^2=100, l^2=1, s20=0.1).
     """
-    pm = jnp.asarray(prior_mean)
+    pm = jnp.asarray(prior_mean, X.dtype)
 
     def logpost(theta):
         ll = jnp.sum(jax.vmap(gp_marginal_loglik, in_axes=(None, 0, 0, 0))(
             theta, X, y, mask))
         lp = jnp.sum(-0.5 * ((theta - pm) / prior_std) ** 2)
-        return ll + lp
+        out = ll + lp
+        # a float32 Cholesky goes NaN when a sampler wanders to extreme
+        # (sigmaf, l) where the Gram is numerically singular; -inf makes
+        # the proposal rejected instead of poisoning the chain state
+        return jnp.where(jnp.isfinite(out), out,
+                         jnp.asarray(-jnp.inf, out.dtype))
 
     return logpost
 
@@ -81,24 +95,28 @@ def map_estimate(logpost: Callable, theta0: jnp.ndarray, steps: int = 200,
     the same patch-bank log posterior — the working replacement for the
     reference's abandoned train_parameters gradient loop
     (src/sparse_gp.hpp:586-650, which plots with octave and exit(0)s).
-    Returns (theta, logpost trace)."""
+
+    The whole ascent is ONE lax.scan under one jit — a single device
+    dispatch instead of `steps` round-trips (each ~19 ms on the tunneled
+    TPU backend). Returns (theta, logpost trace)."""
     import optax
 
     opt = optax.adam(lr)
-    state = opt.init(theta0)
 
-    @jax.jit
-    def step(theta, state):
-        lp, g = jax.value_and_grad(logpost)(theta)
-        updates, state = opt.update(jax.tree.map(lambda x: -x, g), state)
-        return jax.tree.map(lambda a, b: a + b, theta, updates), state, lp
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(theta0, n):
+        def body(carry, _):
+            theta, state = carry
+            lp, g = jax.value_and_grad(logpost)(theta)
+            updates, state = opt.update(jax.tree.map(lambda x: -x, g), state)
+            theta = jax.tree.map(lambda a, b: a + b, theta, updates)
+            return (theta, state), lp
 
-    trace = []
-    theta = theta0
-    for _ in range(steps):
-        theta, state, lp = step(theta, state)
-        trace.append(lp)
-    return theta, jnp.stack(trace)
+        (theta, _), trace = lax.scan(body, (theta0, opt.init(theta0)),
+                                     None, length=n)
+        return theta, trace
+
+    return run(theta0, steps)
 
 
 # ---------------------------------------------------------------------------

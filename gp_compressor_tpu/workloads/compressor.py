@@ -236,10 +236,15 @@ def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
     batch = project(points, colors, valid, cfg)
     B = min(calib_patches, batch.X.shape[0])
     n = min(calib_points, batch.X.shape[1])
+    # device-clean dtype: float64 only where x64 is actually enabled (CPU
+    # tests); on TPU the exact-GP marginal runs float32 — the
+    # difference-form Gram plus the s20 diagonal keep the [n, n] Cholesky
+    # conditioned (kappa ~ sigmaf^2 n / s20 ~ 6e4 << 1/eps_f32)
+    calib_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     logpost = hmc.make_patch_logpost(
-        jnp.asarray(batch.X[:B, :n], jnp.float64),
-        jnp.asarray(batch.y[:B, :n, 0], jnp.float64),
-        jnp.asarray(batch.mask[:B, :n], jnp.float64))
+        jnp.asarray(batch.X[:B, :n], calib_dt),
+        jnp.asarray(batch.y[:B, :n, 0], calib_dt),
+        jnp.asarray(batch.mask[:B, :n], calib_dt))
     theta0 = jnp.asarray([np.log(cfg.depth_gp.sigmaf_sq),
                           np.log(cfg.depth_gp.l_sq),
                           np.log(cfg.depth_gp.s20)])
@@ -257,9 +262,15 @@ def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
     dt = batch.X.dtype
     depth_kp = RBFParams(sigmaf_sq=jnp.asarray(sf, dt),
                          l_sq=jnp.asarray(l2, dt))
-    # keep the noise in the config scale the trainers read
+    # keep the noise in the config scale the trainers read; the novelty
+    # threshold is an ABSOLUTE gamma bound (src/sparse_gp.hpp:30) whose
+    # natural scale is sigmaf_sq — rescale it so the calibrated run keeps
+    # the same RELATIVE novelty floor (an eps_tol tuned for sigmaf^2=100
+    # would otherwise reject every BV once sigmaf^2 calibrates to ~1e-3)
+    eps_cal = cfg.depth_gp.eps_tol * float(sf) / cfg.depth_gp.sigmaf_sq
     cal_cfg = dataclasses.replace(cfg, depth_gp=dataclasses.replace(
-        cfg.depth_gp, sigmaf_sq=float(sf), l_sq=float(l2), s20=float(s20)))
+        cfg.depth_gp, sigmaf_sq=float(sf), l_sq=float(l2), s20=float(s20),
+        eps_tol=eps_cal))
     comp = train(batch, cal_cfg, key, depth_kp=depth_kp,
                  use_pallas=use_pallas)
     return comp, depth_kp, float(s20), cal_cfg

@@ -179,7 +179,8 @@ def map_insert(state: MapState, points, colors, valid,
     overflow = new_ids >= B
     leaf_id_of_uniq = jnp.where(is_new & ~overflow, new_ids,
                                 jnp.where(is_real, existing, B))
-    n_patches = jnp.minimum(state.n_patches + jnp.sum(is_new & ~overflow), B)
+    n_patches = jnp.minimum(state.n_patches + jnp.sum(is_new & ~overflow),
+                            B).astype(jnp.int32)
 
     key_to_leaf = state.key_to_leaf.at[
         jnp.where(is_new & ~overflow, uniq, state.key_to_leaf.shape[0])
@@ -330,12 +331,29 @@ def map_insert(state: MapState, points, colors, valid,
     dnoise = GaussianNoise(s20=jnp.asarray(cfg.depth_gp.s20, dt))
     cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20, dt))
     kd, kc = jax.random.split(key)
-    depth_gp = sparse_gp.add_points_batch(
-        dkp, dnoise, cfg.depth_gp, state.depth_gp, Xb2, Yb2, Mb2,
-        jax.random.split(kd, B))
-    rgb_gp = sparse_gp.add_points_batch(
-        ckp, cnoise, cfg.rgb_gp, state.rgb_gp, Xb2, Cb2, Mb2,
-        jax.random.split(kc, B))
+    if use_pallas:
+        from gp_compressor_tpu.pallas_kernels import sogp_train
+
+        # the fused kernel does not shuffle; apply the reference's
+        # shuffle-before-insert (src/sparse_gp.hpp:43-56) here
+        Ptot = Xb2.shape[1]
+        perm = jax.vmap(lambda k: jax.random.permutation(k, Ptot))(
+            jax.random.split(kd, B))
+        take = lambda a: jnp.take_along_axis(
+            a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
+        Xs, Ys, Cs = take(Xb2), take(Yb2), take(Cb2)
+        Ms = jnp.take_along_axis(Mb2, perm, axis=1)
+        depth_gp = sogp_train.add_points_batch_pallas(
+            dkp, cfg.depth_gp, state.depth_gp, Xs, Ys, Ms)
+        rgb_gp = sogp_train.add_points_batch_pallas(
+            ckp, cfg.rgb_gp, state.rgb_gp, Xs, Cs, Ms)
+    else:
+        depth_gp = sparse_gp.add_points_batch(
+            dkp, dnoise, cfg.depth_gp, state.depth_gp, Xb2, Yb2, Mb2,
+            jax.random.split(kd, B))
+        rgb_gp = sparse_gp.add_points_batch(
+            ckp, cnoise, cfg.rgb_gp, state.rgb_gp, Xb2, Cb2, Mb2,
+            jax.random.split(kc, B))
 
     # ---- 7. pending buffers: consumed for created patches; unclaimed
     # points accumulate into their HOME voxel's pending buffer ------------
@@ -536,31 +554,69 @@ def _map_as_compressed(state: MapState, cfg: CompressorConfig):
     return CompressedCloud(patch=batch, depth_gp=gp_d, rgb_gp=gp_c)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "rcfg",
+                                              "register_scan", "use_pallas"))
+def add_cloud_fused(state: MapState, points, colors, valid,
+                    cfg: CompressorConfig, mcfg: MappingConfig,
+                    key: jax.Array,
+                    rcfg: RegistrationConfig = RegistrationConfig(),
+                    register_scan: bool = True, use_pallas: bool = False):
+    """gp_mapping::add_cloud as ONE jit (src/gp_mapping.cpp:12-35):
+    transform by the accumulated pose, register to convergence, insert
+    unless the 300-step cap was hit — the register->insert decision and
+    the first-scan min_nbr switch run on-device (lax.cond / traced
+    min_nbr), so a whole scan is a single dispatch with no host
+    round-trips on the tunneled backend.
+
+    Returns (state, diverged [bool scalar], reg_steps [int32 scalar]).
+    """
+    dt = points.dtype
+    pts = transforms.apply(points, state.R_cloud, state.t_cloud)
+    diverged = jnp.asarray(False)
+    reg_steps = jnp.asarray(0, jnp.int32)
+
+    if register_scan:
+        comp = _map_as_compressed(state, cfg)
+        has_map = state.n_patches > 0
+
+        def do_reg(_):
+            return registration.register(comp, pts, colors, valid, cfg, rcfg)
+
+        def no_reg(_):
+            return registration.init_state(dt), pts
+
+        rstate, pts = jax.lax.cond(has_map, do_reg, no_reg, None)
+        state = state._replace(
+            R_cloud=jnp.where(has_map, rstate.R_cloud @ state.R_cloud,
+                              state.R_cloud),
+            t_cloud=jnp.where(has_map, state.t_cloud + rstate.t_cloud,
+                              state.t_cloud))
+        diverged = has_map & (rstate.step_nbr >= rcfg.max_steps)
+        reg_steps = rstate.step_nbr
+
+    min_nbr = jnp.where(state.n_patches == 0, 1, mcfg.min_points_new_patch)
+    state = jax.lax.cond(
+        diverged,
+        lambda _: state,                       # drop scan (:22-27)
+        lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
+                             min_nbr, use_pallas=use_pallas),
+        None)
+    return state, diverged, reg_steps
+
+
 def add_cloud(state: MapState, points, colors, valid, cfg: CompressorConfig,
               mcfg: MappingConfig, key: jax.Array,
               rcfg: RegistrationConfig = RegistrationConfig(),
-              register_scan: bool = True) -> Tuple[MapState, dict]:
-    """gp_mapping::add_cloud (src/gp_mapping.cpp:12-35): transform by the
-    accumulated pose, register to convergence, insert unless the step cap
-    was hit."""
-    dt = points.dtype
-    pts = transforms.apply(points, state.R_cloud, state.t_cloud)
-
-    diverged = False
-    if register_scan and int(state.n_patches) > 0:
-        comp = _map_as_compressed(state, cfg)
-        rstate, pts = registration.register(
-            comp, pts, colors, valid, cfg, rcfg)
-        state = state._replace(R_cloud=rstate.R_cloud @ state.R_cloud,
-                               t_cloud=state.t_cloud + rstate.t_cloud)
-        diverged = bool(rstate.step_nbr >= rcfg.max_steps)
-
-    info = {"diverged": diverged}
-    if diverged:
-        return state, info                     # drop scan (:22-27)
-    min_nbr = 1 if int(state.n_patches) == 0 else mcfg.min_points_new_patch
-    state = map_insert(state, pts, colors, valid, cfg, mcfg, key, min_nbr)
-    info["n_patches"] = int(state.n_patches)
+              register_scan: bool = True,
+              use_pallas: bool = False) -> Tuple[MapState, dict]:
+    """Host-facing wrapper over add_cloud_fused: one device dispatch per
+    scan plus a single scalar fetch for the info dict."""
+    state, diverged, reg_steps = add_cloud_fused(
+        state, points, colors, valid, cfg, mcfg, key, rcfg=rcfg,
+        register_scan=register_scan, use_pallas=use_pallas)
+    info = {"diverged": bool(diverged), "reg_steps": int(reg_steps)}
+    if not info["diverged"]:
+        info["n_patches"] = int(state.n_patches)
     return state, info
 
 
