@@ -34,14 +34,26 @@ from gp_compressor_tpu.ops.kernels import RBFParams
 # ---------------------------------------------------------------------------
 
 def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
-                       mask: jnp.ndarray) -> jnp.ndarray:
+                       mask: jnp.ndarray,
+                       noise_floor_rel: float = 0.0) -> jnp.ndarray:
     """Exact GP marginal log-likelihood of one patch.
 
     ln N(y; 0, K + s20 I) with the masked-row decoupling of
     models.exact_gp. X: [n, d], y: [n], mask: [n]. The Cholesky dominates
     — batched over patches it runs as one [B, n, n] MXU factorization.
+
+    noise_floor_rel > 0 adds a noise floor RELATIVE to the signal
+    variance (s20_eff = s20 + floor * sigmaf_sq), bounding the Gram
+    condition number at n / floor independent of where a sampler wanders.
+    In float32 the unfloored posterior mode sits past the conditioning
+    cliff (s20 -> ~1e-4 with sigmaf ~ 50 gives cond ~ 1e7 > 1/eps_f32):
+    every proposal near the mode factorizes to NaN, the -inf guard rejects
+    it, and dual averaging collapses the step size to zero. The floor is a
+    numerical prior: noise below ~floor * sigma_f^2 is indistinguishable
+    in f32 anyway.
     """
     sigmaf_sq, l_sq, s20 = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+    s20 = s20 + noise_floor_rel * sigmaf_sq
     kp = RBFParams(sigmaf_sq=sigmaf_sq, l_sq=l_sq)
     n = X.shape[0]
     m2 = mask[:, None] * mask[None, :]
@@ -65,19 +77,25 @@ def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
 
 
 def make_patch_logpost(X: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
-                       prior_mean=(4.6, 0.0, -2.3), prior_std=3.0
+                       prior_mean=(4.6, 0.0, -2.3), prior_std=3.0,
+                       noise_floor_rel: Optional[float] = None
                        ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Posterior over shared hyperparams given a bank of patches.
 
     X: [B, n, d], y: [B, n], mask: [B, n]. The sum over the (sharded)
     patch axis is the reduction that rides psum on a mesh. Default prior
     centers on the reference's constants (sigmaf^2=100, l^2=1, s20=0.1).
+    noise_floor_rel: see gp_marginal_loglik; None picks 1e-4 for float32
+    inputs (the f32 conditioning floor) and 0 for float64.
     """
     pm = jnp.asarray(prior_mean, X.dtype)
+    if noise_floor_rel is None:
+        noise_floor_rel = 1e-4 if X.dtype == jnp.float32 else 0.0
 
     def logpost(theta):
-        ll = jnp.sum(jax.vmap(gp_marginal_loglik, in_axes=(None, 0, 0, 0))(
-            theta, X, y, mask))
+        ll = jnp.sum(jax.vmap(
+            gp_marginal_loglik, in_axes=(None, 0, 0, 0, None))(
+            theta, X, y, mask, noise_floor_rel))
         lp = jnp.sum(-0.5 * ((theta - pm) / prior_std) ** 2)
         out = ll + lp
         # a float32 Cholesky goes NaN when a sampler wanders to extreme
