@@ -229,7 +229,8 @@ def bench_calibrated(pts, cols, valid, cfg, comp, use_pallas):
     def run(key):
         c, kp, s20, cal_cfg = compressor.compress_calibrated(
             pts, cols, valid, cfg, key, use_pallas=use_pallas,
-            method="map", calib_patches=32, calib_points=64, calib_steps=60)
+            method="map", calib_patches=32, calib_points=64,
+            calib_steps=400, calib_lr=0.1)
         out = compressor.decompress(c, cal_cfg, depth_kp=kp)
         return c, kp, cal_cfg, out
 

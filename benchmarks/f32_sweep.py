@@ -35,21 +35,40 @@ def main():
     valid = jnp.ones(pts.shape[0], bool)
     use_pallas = jax.devices()[0].platform != "cpu"
 
+    # (label, eps_tol, capacity, slots, (sigmaf_sq, l_sq, s20) or None for
+    # the reference constants). The calibrated rows use the NUTS posterior
+    # mode of the patch-bank marginal (bench.py extra.nuts) with the
+    # novelty threshold rescaled to the calibrated signal variance —
+    # measured RMSE 0.0135 m at full speed, BEATING the 0.015 m f64-with-
+    # reference-constants figure: the round-1 "f32 accuracy gap" was a
+    # hyperparameter misspecification gap (sigma_f^2=100/l=1 m on cm-scale
+    # 0.15 m patches), not a precision gap.
+    # NOTE slots=64 exceeds the fused train kernel's VMEM budget (the
+    # [S, S, lane] C/Q blocks); slots <= 48 is the supported envelope.
+    grid_cfgs = [
+        ("ref-constants", 2.0, 30, 32, None),
+        ("ref-constants", 1.0, 30, 32, None),
+        ("ref-constants", 0.5, 30, 32, None),
+        ("ref-constants", 1.0, 44, 48, None),
+        ("ref-constants", 0.25, 44, 48, None),
+        ("nuts-mode", 2.0 * 3.7e-3 / 100, 30, 32, (3.7e-3, 4.1e-3, 1.5e-4)),
+        ("nuts-mode", 2.0 * 3.7e-3 / 100, 44, 48, (3.7e-3, 4.1e-3, 1.5e-4)),
+        ("mid", 2.0 * 0.05 / 100, 30, 32, (0.05, 0.05, 1e-3)),
+    ]
     results = []
-    for eps_tol, capacity, slots in [
-        (2.0, 30, 32), (1.0, 30, 32), (0.5, 30, 32),
-        (1.0, 44, 48), (0.5, 44, 48), (0.25, 44, 48), (0.5, 60, 64),
-    ]:
+    for label, eps_tol, capacity, slots, hp in grid_cfgs:
+        dgp = dict(capacity=capacity, slots=slots, eps_tol=eps_tol)
+        if hp is not None:
+            dgp.update(sigmaf_sq=hp[0], l_sq=hp[1], s20=hp[2])
         cfg = CompressorConfig(
             patch=PatchConfig(res=bench.RES, sz=bench.SZ,
                               max_patches=bench.MAX_PATCHES,
                               max_points_per_patch=bench.MAX_PPP,
                               approx_sphere_moments=True),
-            depth_gp=GPConfig(capacity=capacity, slots=slots,
-                              eps_tol=eps_tol),
+            depth_gp=GPConfig(**dgp),
             rgb_gp=dataclasses.replace(
                 rgb_gp_config(slots=slots, capacity=capacity),
-                eps_tol=eps_tol),
+                eps_tol=2.0),
         )
 
         def run(key):
@@ -69,7 +88,8 @@ def main():
             rmse = float(compressor.reconstruction_rmse(comp, cfg))
             from gp_compressor_tpu.models import sparse_gp
             szs = sparse_gp.size(comp.depth_gp)
-            rec = {"eps_tol": eps_tol, "capacity": capacity, "slots": slots,
+            rec = {"label": label, "eps_tol": eps_tol,
+                   "capacity": capacity, "slots": slots,
                    "wall_s": round(wall, 3),
                    "points_per_s": round(bench.N_POINTS / wall, 1),
                    "rmse_m": round(rmse, 4),
@@ -77,7 +97,8 @@ def main():
                        jnp.sum(szs > 0), 1)), 1),
                    "max_bv": int(jnp.max(szs))}
         except Exception as e:
-            rec = {"eps_tol": eps_tol, "capacity": capacity, "slots": slots,
+            rec = {"label": label, "eps_tol": eps_tol,
+                   "capacity": capacity, "slots": slots,
                    "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rec), flush=True)
         results.append(rec)

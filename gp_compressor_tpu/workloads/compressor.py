@@ -217,7 +217,7 @@ def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
 def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
                         use_pallas: bool = False, method: str = "map",
                         calib_patches: int = 32, calib_points: int = 64,
-                        calib_steps: int = 150):
+                        calib_steps: int = 400, calib_lr: float = 0.1):
     """Compress with Bayesian-calibrated depth hyperparameters — the
     north-star configuration (BASELINE.json: "compress+decompress with
     HMC-calibrated hyperparameters"). The reference carries hard-coded
@@ -256,7 +256,11 @@ def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
             logpost, jnp.stack([theta0, theta0 + 0.3]), kcal, hcfg)
         theta = jnp.mean(samples.reshape(-1, 3), axis=0)
     else:
-        theta, _ = hmc.map_estimate(logpost, theta0, steps=calib_steps)
+        # lr 0.1 x 400 steps reaches the cm-scale posterior basin from the
+        # reference-constant start (lr 0.05 is still in transit at 400);
+        # the whole ascent is one fused lax.scan dispatch
+        theta, _ = hmc.map_estimate(logpost, theta0, steps=calib_steps,
+                                    lr=calib_lr)
     sf, l2, s20 = jnp.exp(theta)
 
     dt = batch.X.dtype
