@@ -43,7 +43,10 @@ RES = 0.15
 SZ = 20
 CAPACITY = 100       # reference default (src/sparse_gp.h:48) — the CPU
                      # baseline uses it; see TPU_* below for the device run
-MAX_PATCHES = 4096
+MAX_PATCHES = 2048   # static patch-bank bound; the bench cloud bins into
+                     # 1675 leaves, and every bank op (Pallas train blocks,
+                     # bank gathers, grid predict) scales with the PADDED
+                     # bound — 4096 spent 2.4x the work on empty patches
 MAX_PPP = 256
 
 # TPU run settings. eps_tol: in float32 the novelty gamma = k** - k^T Q k

@@ -76,33 +76,46 @@ def _sym10_to_44(m10: jnp.ndarray) -> jnp.ndarray:
     return m10[..., jnp.asarray(_np.asarray(_SYM_POS))]
 
 
-def segment_rank(claim: jnp.ndarray, claimed: jnp.ndarray,
-                 n_segments: int) -> jnp.ndarray:
-    """Stable rank of each point within its claimed segment ([N] int32).
+def gather_bank_indices(claim: jnp.ndarray, claimed: jnp.ndarray,
+                        n_segments: int, P: int, shuffle_key=None,
+                        counts=None):
+    """Bank-building in GATHER form: source index + validity for every
+    [B, P] bank slot, so callers fill banks with fast row gathers instead
+    of scalar-core scatter-sets (~16.5 ms vs ~7 ms per 1M rows on TPU,
+    plus one ~3 ms u32 key sort shared by all banks).
 
-    ONE payload-free sort of packed uint32 keys (segment in the high bits,
-    point id in the low bits) — stable by construction, so ranks (and which
-    points a static per-segment bound drops) are identical to a stable
-    argsort at half the sort traffic; the first-occurrence offset per
-    segment is a cummax scan instead of a second O(N log N) searchsorted.
-    Falls back to argsort when the key doesn't fit 32 bits."""
+    Slot (b, p) draws the point with stable claim-order rank rk(b, p)
+    inside segment b — rk = p, or a per-segment uniform permutation of
+    [0, P) when shuffle_key is given (same kept/dropped set as rank < P).
+    Returns (src [B, P] int32 indices into the point axis, valid [B, P]).
+    """
     N = claim.shape[0]
+    B = n_segments
     id_bits = max(N - 1, 1).bit_length()
-    iota = jnp.arange(N, dtype=jnp.int32)
-    if (n_segments + 1) << id_bits <= (1 << 32):
-        packed = (jnp.where(claimed, claim, n_segments).astype(jnp.uint32)
+    if (B + 1) << id_bits <= (1 << 32):
+        packed = (jnp.where(claimed, claim, B).astype(jnp.uint32)
                   << id_bits) | jnp.arange(N, dtype=jnp.uint32)
         packed = jnp.sort(packed)
         order = (packed & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
-        sc = (packed >> id_bits).astype(jnp.int32)
+        segs = (packed >> id_bits).astype(jnp.int32)
+    else:                                   # fallback: plain stable argsort
+        segs_u = jnp.where(claimed, claim, B)
+        order = jnp.argsort(segs_u, stable=True).astype(jnp.int32)
+        segs = segs_u[order]
+    offset = jnp.searchsorted(segs, jnp.arange(B, dtype=jnp.int32))
+    if counts is None:
+        counts = jax.ops.segment_sum(
+            claimed.astype(jnp.int32), jnp.where(claimed, claim, B),
+            num_segments=B + 1)[:B]
+    cnt_i = counts.astype(jnp.int32)
+    if shuffle_key is not None:
+        rk = jnp.argsort(jax.random.bits(shuffle_key, (B, P), jnp.uint32),
+                         axis=1).astype(jnp.int32)
     else:
-        order = jnp.argsort(jnp.where(claimed, claim, n_segments),
-                            stable=True).astype(jnp.int32)
-        sc = jnp.where(claimed, claim, n_segments)[order]
-    changed = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
-    first = jax.lax.cummax(jnp.where(changed, iota, 0))
-    rank_sorted = iota - first
-    return jnp.zeros(N, jnp.int32).at[order].set(rank_sorted)
+        rk = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+    valid = rk < jnp.minimum(cnt_i, P)[:, None]
+    src = order[jnp.clip(offset[:, None] + rk, 0, N - 1)]
+    return src, valid
 
 
 def grid_cell(uv: jnp.ndarray, res, sz: int) -> jnp.ndarray:
@@ -290,32 +303,25 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     Wcnt = jax.ops.segment_sum(ones, wseg, num_segments=B * sz * sz + 1)
     W = (Wcnt[:B * sz * sz] > 0).reshape(B, sz * sz)
 
-    # ---- pass 3: scatter claimed points into [B, P] banks
-    rank = segment_rank(claim, claimed, B)
-
-    tgt_ok = claimed & (rank < P)
-    if shuffle_key is not None:
-        # permute the in-bank slot of each kept point: slot = sigma_b(rank)
-        # with sigma_b a uniform per-patch permutation of [0, P). The drop
-        # set (rank >= P) is unchanged; only bank order differs.
-        sigma = jnp.argsort(
-            jax.random.bits(shuffle_key, (B, P), jnp.uint32), axis=1
-        ).astype(jnp.int32)
-        rank = sigma.reshape(B * P)[
-            jnp.where(tgt_ok, claim * P + rank, 0)]
-    flat = jnp.where(tgt_ok, claim * P + rank, B * P)
-    Xb = jnp.zeros((B * P, 2), dt).at[flat].set(
-        jnp.where(tgt_ok[:, None], loc_claim[:, 1:], 0.0), mode='drop')
-    yb = jnp.zeros((B * P, 1), dt).at[flat].set(
-        jnp.where(tgt_ok[:, None], depth[:, None], 0.0), mode='drop')
-    cb = jnp.zeros((B * P, 3), dt).at[flat].set(
-        jnp.where(tgt_ok[:, None], rgb_d, 0.0), mode='drop')
-    mb = jnp.zeros((B * P,), bool).at[flat].set(tgt_ok, mode='drop')
+    # ---- pass 3: bank claimed points into [B, P] — GATHER formulation.
+    # TPU scatter-set serializes on the scalar core (~16.5 ms per
+    # [N]->1M-row scatter, measured); sorting the packed (claim, id) keys
+    # once (~3 ms) and letting every bank slot GATHER its source point
+    # (~7 ms/1M rows) replaces the three big bank scatters. Slot (b, p)
+    # draws the point ranked rk(b, p) within patch b's stable claim order:
+    # rk = p unshuffled, or a per-patch uniform permutation of [0, P) when
+    # shuffle_key is given (the reference's shuffle-before-insert,
+    # src/sparse_gp.hpp:43-56, applied at bank-build time for free).
+    src, mb = gather_bank_indices(claim, claimed, B, P,
+                                  shuffle_key=shuffle_key, counts=counts)
+    Xb = jnp.where(mb[..., None], loc_claim[:, 1:][src], 0.0)
+    yb = jnp.where(mb[..., None], depth[src][..., None], 0.0)
+    cb = jnp.where(mb[..., None], rgb_d[src], 0.0)
 
     return PatchBatch(
         grid=grid, rotations=R, means=means, rgb_means=c_mn, W=W,
-        X=Xb.reshape(B, P, 2), y=yb.reshape(B, P, 1), rgb=cb.reshape(B, P, 3),
-        mask=mb.reshape(B, P), counts=counts.astype(jnp.int32),
+        X=Xb, y=yb, rgb=cb,
+        mask=mb, counts=counts.astype(jnp.int32),
         claims=jnp.where(claimed, claim, -1).astype(jnp.int32),
         n_leaves=grid.n_leaves)
 

@@ -400,22 +400,12 @@ def map_insert(state: MapState, points, colors, valid,
 
 
 def _bank_training_points(claim, claimed, uv, depth, cols, B, P):
-    N = claim.shape[0]
-    dt = uv.dtype
-    order = jnp.argsort(jnp.where(claimed, claim, B), stable=True)
-    sc = jnp.where(claimed, claim, B)[order]
-    first = jnp.searchsorted(sc, sc, side='left')
-    rank = jnp.zeros(N, jnp.int32).at[order].set(
-        (jnp.arange(N) - first).astype(jnp.int32))
-    ok = claimed & (rank < P)
-    flat = jnp.where(ok, claim * P + rank, B * P)
-    Xb = jnp.zeros((B * P, 2), dt).at[flat].set(
-        jnp.where(ok[:, None], uv, 0.0), mode='drop').reshape(B, P, 2)
-    Yb = jnp.zeros((B * P, 1), dt).at[flat].set(
-        jnp.where(ok[:, None], depth[:, None], 0.0), mode='drop').reshape(B, P, 1)
-    Cb = jnp.zeros((B * P, 3), dt).at[flat].set(
-        jnp.where(ok[:, None], cols, 0.0), mode='drop').reshape(B, P, 3)
-    Mb = jnp.zeros((B * P,), bool).at[flat].set(ok, mode='drop').reshape(B, P)
+    """Gather-form banking (see patches.gather_bank_indices)."""
+    from gp_compressor_tpu.geometry.patches import gather_bank_indices
+    src, Mb = gather_bank_indices(claim, claimed, B, P)
+    Xb = jnp.where(Mb[..., None], uv[src], 0.0)
+    Yb = jnp.where(Mb[..., None], depth[src][..., None], 0.0)
+    Cb = jnp.where(Mb[..., None], cols[src], 0.0)
     return Xb, Yb, Cb, Mb
 
 

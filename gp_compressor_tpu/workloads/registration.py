@@ -230,18 +230,13 @@ def _claim_to_map(comp: CompressedCloud, points: jnp.ndarray,
 
 
 def _bank_points(claim, loc, colors, claimed, B, P):
-    """Scatter claimed points into [B, P] banks (same ranking trick as the
-    compression front-end)."""
-    from gp_compressor_tpu.geometry.patches import segment_rank
-    rank = segment_rank(claim, claimed, B)
-    ok = claimed & (rank < P)
-    flat = jnp.where(ok, claim * P + rank, B * P)
-    dt = loc.dtype
-    Xb = jnp.zeros((B * P, 3), dt).at[flat].set(
-        jnp.where(ok[:, None], loc, 0.0), mode='drop').reshape(B, P, 3)
-    Cb = jnp.zeros((B * P, 3), dt).at[flat].set(
-        jnp.where(ok[:, None], colors, 0.0), mode='drop').reshape(B, P, 3)
-    Mb = jnp.zeros((B * P,), bool).at[flat].set(ok, mode='drop').reshape(B, P)
+    """Bank claimed points into [B, P] (gather form — see
+    patches.gather_bank_indices; scatter-set serializes on the TPU scalar
+    core)."""
+    from gp_compressor_tpu.geometry.patches import gather_bank_indices
+    src, Mb = gather_bank_indices(claim, claimed, B, P)
+    Xb = jnp.where(Mb[..., None], loc[src], 0.0)
+    Cb = jnp.where(Mb[..., None], colors[src], 0.0)
     return Xb, Cb, Mb
 
 
