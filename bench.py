@@ -109,6 +109,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        # persistent executable cache: repeat bench runs (and the driver's
+        # final run, if /tmp survives) skip the 20-300 s remote compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/gptpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from gp_compressor_tpu.config import (CompressorConfig, GPConfig,
                                           PatchConfig, rgb_gp_config)
     from gp_compressor_tpu.utils import synthetic
@@ -175,15 +183,21 @@ def main():
     n_claimed = int(jnp.sum(comp.patch.mask))
 
     times = []
+    rmses = []
     for i in range(3):
         t0 = time.perf_counter()
         comp, out = pipeline(pts, cols, valid, jax.random.key(i))
         sync(comp, out)
         times.append(time.perf_counter() - t0)
+        rmses.append(float(compressor.reconstruction_rmse(comp, cfg)))
     dt = min(times)
     tpu_pps = N_POINTS / dt
+    # at the reference constants only 1-2 points per patch pass the f32
+    # novelty threshold, so WHICH points the shuffle feeds first moves
+    # in-sample RMSE by ~+-0.005 across keys — report the mean over the
+    # timed runs (the rmse fetches happen outside the timed window)
+    rmse = float(np.mean(rmses))
 
-    rmse = float(compressor.reconstruction_rmse(comp, cfg))
     result = {
         "metric": "gp_compress_decompress_throughput",
         "value": round(tpu_pps, 1),
@@ -196,6 +210,7 @@ def main():
             "n_patches": int(comp.patch.n_leaves),
             "n_claimed_in_banks": n_claimed,
             "in_sample_rmse_m": round(rmse, 4),
+            "rmse_spread_m": [round(min(rmses), 4), round(max(rmses), 4)],
             "fused_pallas_train": use_pallas,
             "device": str(jax.devices()[0]),
         },

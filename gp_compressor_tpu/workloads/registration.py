@@ -241,8 +241,10 @@ def _bank_points(claim, loc, colors, claimed, B, P):
 
 
 def _depth_density_grads(kp: RBFParams, s20, states, Xb, mask):
-    """Per-point gradient of the depth predictive density w.r.t.
-    (y, u, v) — [B, P, 3]. Xb rows are local (depth, u, v)."""
+    """Per-point gradient AND value of the depth predictive density w.r.t.
+    (y, u, v) — ([B, P, 3], [B, P]). Xb rows are local (depth, u, v); the
+    value is the per-point likelihood (sparse_gp::compute_likelihoods,
+    src/sparse_gp.hpp:409-427) for free from the same forward pass."""
 
     def per_patch(state, pts, m):
         def density(uv, y):
@@ -251,18 +253,19 @@ def _depth_density_grads(kp: RBFParams, s20, states, Xb, mask):
                 - 0.5 * (y - mean[0, 0]) ** 2 / var[0]
             return jnp.exp(lp)
 
-        g = jax.vmap(jax.grad(density, argnums=(1, 0)))(pts[:, 1:], pts[:, 0])
+        val, g = jax.vmap(jax.value_and_grad(density, argnums=(1, 0)))(
+            pts[:, 1:], pts[:, 0])
         dy, duv = g
         out = jnp.concatenate([dy[:, None], duv], axis=-1)
-        return jnp.where(m[:, None], out, 0.0)
+        return jnp.where(m[:, None], out, 0.0), jnp.where(m, val, 0.0)
 
     return jax.vmap(per_patch)(states, Xb, mask)
 
 
 def _color_density_grads(kp: RBFParams, s20, states, Xb, Cb, mask):
-    """Gradient of the RGB field predictive density w.r.t. (u, v); the
-    y-component is zero following the reference's intent
-    (src/sparse_gp_field.hpp:387). [B, P, 3]."""
+    """Gradient and value of the RGB field predictive density w.r.t.
+    (u, v); the gradient's y-component is zero following the reference's
+    intent (src/sparse_gp_field.hpp:387). ([B, P, 3], [B, P])."""
 
     def per_patch(state, pts, cols, m):
         def density(uv, c):
@@ -271,9 +274,10 @@ def _color_density_grads(kp: RBFParams, s20, states, Xb, Cb, mask):
                          - 0.5 * (c - mean[0]) ** 2 / var)
             return jnp.exp(lp)
 
-        duv = jax.vmap(jax.grad(density, argnums=0))(pts[:, 1:], cols)
+        val, duv = jax.vmap(jax.value_and_grad(density, argnums=0))(
+            pts[:, 1:], cols)
         out = jnp.concatenate([jnp.zeros_like(duv[:, :1]), duv], axis=-1)
-        return jnp.where(m[:, None], out, 0.0)
+        return jnp.where(m[:, None], out, 0.0), jnp.where(m, val, 0.0)
 
     return jax.vmap(per_patch)(states, Xb, Cb, mask)
 
@@ -298,8 +302,10 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
     cdm = colors - batch.rgb_means[cidx]            # demeaned colors (:169-171)
     Xb, Cb, Mb = _bank_points(claim, loc, cdm, claimed, B, P)
 
-    dX = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp, Xb, Mb)
-    dCX = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp, Xb, Cb, Mb)
+    dX, ll = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+                                  Xb, Mb)
+    dCX, cl = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
+                                   Xb, Cb, Mb)
     a = rcfg.color_blend
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
@@ -312,13 +318,8 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
     n_used = jnp.maximum(jnp.sum(Mb), 1)
     delta = jnp.sum(jnp.where(Mb[..., None], contrib, 0.0), axis=(0, 1)) / n_used
 
-    # mean data likelihoods (ls, :211-212,248-256)
-    ll = jax.vmap(lambda st, x, m: jnp.where(
-        m, sparse_gp.likelihood(depth_kp, cfg.depth_gp.s20, st,
-                                x[:, 1:], x[:, :1]), 0.0))(comp.depth_gp, Xb, Mb)
-    cl = jax.vmap(lambda st, x, c, m: jnp.where(
-        m, sparse_gp.likelihood(rgb_kp, cfg.rgb_gp.s20, st, x[:, 1:], c),
-        0.0))(comp.rgb_gp, Xb, Cb, Mb)
+    # mean data likelihoods (ls, :211-212,248-256) — the density values
+    # from the gradient passes, no second predict
     ls = jnp.sum(ll) / n_used
     cls = jnp.sum(cl) / n_used
     return delta, ls, cls, jnp.sum(Mb)
@@ -348,8 +349,10 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
          & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
     Xb = jnp.where(m[..., None], loc, 0.0)
 
-    dX = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp, Xb, m)
-    dCX = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp, Xb, Cb, m)
+    dX, ll = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+                                  Xb, m)
+    dCX, cl = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
+                                   Xb, Cb, m)
     a = rcfg.color_blend
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
@@ -359,12 +362,6 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
     n_used = jnp.maximum(jnp.sum(m), 1)
     delta = jnp.sum(jnp.where(m[..., None], contrib, 0.0), axis=(0, 1)) / n_used
 
-    ll = jax.vmap(lambda st, x, mm: jnp.where(
-        mm, sparse_gp.likelihood(depth_kp, cfg.depth_gp.s20, st,
-                                 x[:, 1:], x[:, :1]), 0.0))(comp.depth_gp, Xb, m)
-    cl = jax.vmap(lambda st, x, c, mm: jnp.where(
-        mm, sparse_gp.likelihood(rgb_kp, cfg.rgb_gp.s20, st, x[:, 1:], c),
-        0.0))(comp.rgb_gp, Xb, Cb, m)
     ls = jnp.sum(ll) / n_used
     cls = jnp.sum(cl) / n_used
     return delta, ls, cls, jnp.sum(m)
