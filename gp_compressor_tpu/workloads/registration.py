@@ -59,26 +59,30 @@ _OFFS27 = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
 class ClaimTables(NamedTuple):
     """Leaf-level candidate tables for scan->map claiming.
 
-    A scan point can only be claimed by a leaf in the 27-neighbourhood of
-    its (grid-clamped) voxel, so candidacy is a property of the CELL, not
-    the point: one row per cell of the 1-dilated leaf set holds the 27
-    candidate leaves' slot ids, gp indices, frames and means. Claiming a
+    A scan point can only be claimed by a leaf in the neighbourhood of its
+    (grid-clamped) voxel, so candidacy is a property of the (CELL, OCTANT),
+    not the point: one row per (cell of the 1-dilated leaf set) x (home
+    octant) holds the 8 reachable candidate leaves' slot ids, gp indices,
+    frames and means (octant reduction 27 -> 8 is exact — see
+    voxel.OCT_CAND_27, valid for clamped out-of-box points too). Claiming a
     point is then one dense-table lookup plus one contiguous row gather —
-    the same ~8x-over-27-strided-passes trade as the compression front end,
-    and the tables are invariant across the registration gradient loop.
+    the row gather is the bandwidth-bound step of a re-claim, so 8 rather
+    than 27 candidates is a ~3x traffic cut — and the tables are invariant
+    across the registration gradient loop.
     """
 
-    cell_row: jnp.ndarray    # [nc] int32 in-grid cell -> row id (-1 none)
-    sidx: jnp.ndarray        # [Bx, 27] candidate leaf slot (fill = B_slots)
-    gid: jnp.ndarray         # [Bx, 27] candidate gp_index (0 where !ok)
-    ok: jnp.ndarray          # [Bx, 27] candidate exists & trained
-    R: jnp.ndarray           # [Bx, 27, 9] candidate frames
-    mean: jnp.ndarray        # [Bx, 27, 3] candidate patch means
+    cell_row: jnp.ndarray    # [nc] int32 in-grid cell -> base row (-1 none)
+    sidx: jnp.ndarray        # [Bx*8, 8] candidate leaf slot (fill = B_slots
+                             #           where the candidate is missing or
+                             #           untrained)
+    gid: jnp.ndarray         # [Bx*8, 8] candidate gp_index (0 where !ok)
+    R: jnp.ndarray           # [Bx*8, 8, 9] candidate frames (0 where !ok)
+    mean: jnp.ndarray        # [Bx*8, 8, 3] candidate patch means
 
 
 def build_claim_tables(grid, rotations, means, trained,
                        leaf_ids=None) -> ClaimTables:
-    """Requires grid.table (the dense cell->leaf map). O(27 B) work."""
+    """Requires grid.table (the dense cell->leaf map). O(64 B) work."""
     B_slots = grid.keys.shape[0]
     i32 = jnp.int32
     offs = jnp.asarray(_OFFS27, i32)
@@ -104,13 +108,18 @@ def build_claim_tables(grid, rotations, means, trained,
     g = jnp.where(nb_ok, nb_idx, 0)
     g = g if leaf_ids is None else leaf_ids[g]
     cok = nb_ok & trained[g]
-    Rr = jnp.where(cok[..., None],
-                   rotations[g].reshape(Bx, 27, 9), 0.0)
-    mr = jnp.where(cok[..., None], means[g], 0.0)
+    sidx27 = jnp.where(cok, nb_idx, B_slots).astype(i32)
+    gid27 = jnp.where(cok, g, 0).astype(i32)
+    Rr27 = jnp.where(cok[..., None], rotations[g].reshape(Bx, 27, 9), 0.0)
+    mr27 = jnp.where(cok[..., None], means[g], 0.0)
+    # expand to (cell, octant) rows of the 8 reachable candidates
+    sel = jnp.asarray(voxel.OCT_CAND_27)                         # [8, 8]
     return ClaimTables(
         cell_row=cell_row,
-        sidx=jnp.where(cok, nb_idx, B_slots).astype(i32),
-        gid=jnp.where(cok, g, 0).astype(i32), ok=cok, R=Rr, mean=mr)
+        sidx=sidx27[:, sel].reshape(Bx * 8, 8),
+        gid=gid27[:, sel].reshape(Bx * 8, 8),
+        R=Rr27[:, sel].reshape(Bx * 8, 8, 9),
+        mean=mr27[:, sel].reshape(Bx * 8, 8, 3))
 
 
 def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
@@ -118,14 +127,13 @@ def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
     """Claim scan points against prebuilt tables. Points are keyed by their
     grid-CLAMPED voxel: a point up to one cell outside the map box can
     still reach boundary leaves (its true candidates all lie in the clamped
-    cell's 27-neighbourhood since in-grid sphere centers are < 0.866 res
+    cell's neighbourhood since in-grid sphere centers are < 0.866 res
     away), and points further out are geometrically unclaimable."""
     N = points.shape[0]
     dt = points.dtype
     B_slots = grid.keys.shape[0]
     res = jnp.asarray(res, dt)
     half = res / 2.0
-    offs_f = jnp.asarray(_OFFS27, dt)
 
     keys3 = voxel.point_keys(points, grid.origin, grid.res)
     keys3c = jnp.clip(keys3, 0, grid.dims - 1)
@@ -133,30 +141,34 @@ def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
     nc = tables.cell_row.shape[0]
     row = tables.cell_row[jnp.clip(lin, 0, nc - 1)]
     has = (lin < nc) & (row >= 0) & valid
-    rowc = jnp.where(has, row, 0)
 
-    Rk = tables.R[rowc].reshape(N, 27, 3, 3)                     # row gather
-    mk = tables.mean[rowc]
-    sk = tables.sidx[rowc]
-    gk = tables.gid[rowc]
-    okk = tables.ok[rowc]
-    ccen = grid.origin + (keys3c.astype(dt)[:, None, :] + offs_f[None]
-                          + 0.5) * res                           # [N, 27, 3]
-    d2 = jnp.sum((points[:, None, :] - ccen) ** 2, axis=-1)
+    home_center = grid.origin + (keys3c.astype(dt) + 0.5) * res
+    relh = points - home_center                                  # [N, 3]
+    oct_id = voxel.octant_of(relh)
+    row8 = jnp.where(has, row, 0) * 8 + oct_id
+
+    Rk = tables.R[row8].reshape(N, 8, 3, 3)                      # row gather
+    mk = tables.mean[row8]
+    sk = tables.sidx[row8]
+    gk = tables.gid[row8]
+    co = jnp.asarray(voxel.OCT_CAND_OFFS, dt)[oct_id] * res      # [N, 8, 3]
+    d2 = jnp.sum((relh[:, None, :] - co) ** 2, axis=-1)
     rel = points[:, None, :] - mk
-    loc = jnp.einsum('nkji,nkj->nki', Rk, rel)                   # R^T rel
-    pass_ = (has[:, None] & okk
+    # R^T rel as broadcast-multiply + reduce (VPU; see patches.claim_points)
+    loc = jnp.sum(Rk * rel[..., None], axis=2)                   # [N, 8, 3]
+    pass_ = (has[:, None] & (sk < B_slots)
              & (d2 <= (voxel.SQRT3_2 * res) ** 2)
              & (loc[..., 1] <= half) & (loc[..., 1] >= -half)
              & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
     masked = jnp.where(pass_, sk, B_slots)
-    k_win = jnp.argmin(masked, axis=1)
-    best = jnp.take_along_axis(masked, k_win[:, None], 1)[:, 0]
+    # first-claim = min leaf slot; winner one-hot unique for claimed points
+    best = jnp.min(masked, axis=1)
     claimed = best < B_slots
+    win = masked == best[:, None]
     loc_claim = jnp.where(
         claimed[:, None],
-        jnp.take_along_axis(loc, k_win[:, None, None], 1)[:, 0], 0.0)
-    gwin = jnp.take_along_axis(gk, k_win[:, None], 1)[:, 0]
+        jnp.sum(jnp.where(win[..., None], loc, 0.0), axis=1), 0.0)
+    gwin = jnp.sum(jnp.where(win, gk, 0), axis=1)
     gclaim = jnp.where(claimed, gwin, out_fill).astype(jnp.int32)
     return gclaim, loc_claim, claimed
 
@@ -230,21 +242,83 @@ def _claim_to_map(comp: CompressedCloud, points: jnp.ndarray,
 
 
 def _bank_points(claim, loc, colors, claimed, B, P):
-    """Bank claimed points into [B, P] (gather form — see
-    patches.gather_bank_indices; scatter-set serializes on the TPU scalar
-    core)."""
-    from gp_compressor_tpu.geometry.patches import gather_bank_indices
-    src, Mb = gather_bank_indices(claim, claimed, B, P)
-    Xb = jnp.where(Mb[..., None], loc[src], 0.0)
-    Cb = jnp.where(Mb[..., None], colors[src], 0.0)
+    """Bank claimed points into [B, P] via the claim-sorted window form
+    (patches.sort_by_claim: one value sort, then per-patch contiguous
+    window gathers — ~3x faster than per-slot random gathers)."""
+    from gp_compressor_tpu.geometry.patches import bank_windows, sort_by_claim
+    (x0, x1, x2, c0, c1, c2), starts = sort_by_claim(
+        claim, claimed, (loc[:, 0], loc[:, 1], loc[:, 2],
+                         colors[:, 0], colors[:, 1], colors[:, 2]), B)
+    pos, Mb, _ = bank_windows(starts, B, P)
+    Xb = jnp.where(Mb[..., None],
+                   jnp.stack([x0[pos], x1[pos], x2[pos]], -1), 0.0)
+    Cb = jnp.where(Mb[..., None],
+                   jnp.stack([c0[pos], c1[pos], c2[pos]], -1), 0.0)
     return Xb, Cb, Mb
+
+
+def _density_grads_closed(kp: RBFParams, s20, states, Xb, vals, mask,
+                          zero_y: bool = False):
+    """Closed-form per-point gradient AND value of the predictive density —
+    the likelihood_dx math (src/sparse_gp.hpp:478-508) batched over patches.
+
+    One kernel-matrix materialisation serves mean, variance, density AND
+    all gradient contractions; the autodiff formulation (kept below as the
+    test oracle) re-derives K in the backward pass and round-trips several
+    [B, P, S] intermediates through HBM — measured ~2x slower per
+    registration step at bench scale.
+
+    Xb: [B, P, 3] local (depth, u, v); vals: [B, P, D] targets (depth
+    column or demeaned colors; shared scalar variance across channels as
+    in sparse_gp_field, src/sparse_gp_field.hpp:89-103). zero_y drops the
+    y-component of the gradient (the reference's intent for the color
+    field, src/sparse_gp_field.hpp:387).
+    Returns ([B, P, 3] gradient w.r.t. (y, u, v), [B, P] density).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    dt = Xb.dtype
+    l2 = jnp.asarray(kp.l_sq, dt)
+    sf = jnp.asarray(kp.sigmaf_sq, dt)
+    s20 = jnp.asarray(s20, dt)
+    D = vals.shape[-1]
+    act = states.active.astype(dt)                        # [B, S]
+    uv = Xb[..., 1:]                                      # [B, P, 2]
+    diff = uv[:, :, None, :] - states.bv[:, None, :, :]   # [B, P, S, 2]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    K = sf * jnp.exp(-0.5 * d2 / l2) * act[:, None, :]    # [B, P, S]
+    mean = jnp.einsum('bps,bsd->bpd', K, states.alpha, precision=hi)
+    KC = jnp.einsum('bps,bst->bpt', K, states.C, precision=hi)
+    latent = sf + jnp.sum(KC * K, axis=-1)                # k** + k^T C k
+    var = s20 + jnp.maximum(latent, 0.0)                  # [B, P]
+    r = vals - mean                                       # [B, P, D]
+    lp = jnp.sum(-0.5 * jnp.log(2.0 * jnp.pi * var)[..., None]
+                 - 0.5 * r * r / var[..., None], axis=-1)
+    p = jnp.exp(lp)                                       # [B, P]
+
+    # d lp/du_a = (1/var) sum_d r_d dmean_d/du_a
+    #           + (sum_d r_d^2 / (2 var^2) - D / (2 var)) dvar/du_a
+    # with dK_s/du_a = -K_s diff_{s,a} / l2, dvar = 2 (C k)^T dK (clamped)
+    w = jnp.einsum('bpd,bsd->bps', r, states.alpha, precision=hi)
+    r2 = jnp.sum(r * r, axis=-1)                          # [B, P]
+    dvar_on = (latent > 0.0).astype(dt)[..., None]
+    coef = -(K / l2) * (w / var[..., None]
+                        + (r2 / var ** 2 - D / var)[..., None] * KC * dvar_on)
+    duv = jnp.sum(coef[..., None] * diff, axis=2)         # [B, P, 2]
+    if zero_y:
+        dy = jnp.zeros_like(p)
+    else:
+        dy = (mean[..., 0] - Xb[..., 0]) / var            # depth: D = 1
+    out = p[..., None] * jnp.concatenate([dy[..., None], duv], axis=-1)
+    return (jnp.where(mask[..., None], out, 0.0), jnp.where(mask, p, 0.0))
 
 
 def _depth_density_grads(kp: RBFParams, s20, states, Xb, mask):
     """Per-point gradient AND value of the depth predictive density w.r.t.
     (y, u, v) — ([B, P, 3], [B, P]). Xb rows are local (depth, u, v); the
     value is the per-point likelihood (sparse_gp::compute_likelihoods,
-    src/sparse_gp.hpp:409-427) for free from the same forward pass."""
+    src/sparse_gp.hpp:409-427) for free from the same forward pass.
+    Autodiff formulation — the test oracle for _density_grads_closed (the
+    production path)."""
 
     def per_patch(state, pts, m):
         def density(uv, y):
@@ -298,14 +372,14 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
 
     claim, loc, claimed = _claim_to_map(comp, points, valid, cfg,
                                         tables=tables)
-    cidx = jnp.where(claimed, claim, 0)
-    cdm = colors - batch.rgb_means[cidx]            # demeaned colors (:169-171)
-    Xb, Cb, Mb = _bank_points(claim, loc, cdm, claimed, B, P)
+    Xb, Cb, Mb = _bank_points(claim, loc, colors, claimed, B, P)
+    # demean colors per bank row (== per-point rgb_means[claim], :169-171)
+    Cb = jnp.where(Mb[..., None], Cb - batch.rgb_means[:, None, :], 0.0)
 
-    dX, ll = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
-                                  Xb, Mb)
-    dCX, cl = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
-                                   Xb, Cb, Mb)
+    dX, ll = _density_grads_closed(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+                                   Xb, Xb[..., :1], Mb)
+    dCX, cl = _density_grads_closed(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
+                                    Xb, Cb, Mb, zero_y=True)
     a = rcfg.color_blend
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
@@ -349,10 +423,10 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
          & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
     Xb = jnp.where(m[..., None], loc, 0.0)
 
-    dX, ll = _depth_density_grads(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
-                                  Xb, m)
-    dCX, cl = _color_density_grads(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
-                                   Xb, Cb, m)
+    dX, ll = _density_grads_closed(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+                                   Xb, Xb[..., :1], m)
+    dCX, cl = _density_grads_closed(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
+                                    Xb, Cb, m, zero_y=True)
     a = rcfg.color_blend
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
@@ -405,9 +479,10 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     def rebank(pts):
         claim, _, claimed = _claim_to_map(comp, pts, scan_valid, cfg,
                                           tables=tables)
-        cidx = jnp.where(claimed, claim, 0)
-        cdm = scan_colors - batch.rgb_means[cidx]   # demeaned colors (:169-171)
-        return _bank_points(claim, pts, cdm, claimed, B, P)
+        Wb, Cb, Mb = _bank_points(claim, pts, scan_colors, claimed, B, P)
+        # demean per bank row (== per-point rgb_means[claim], :169-171)
+        Cb = jnp.where(Mb[..., None], Cb - batch.rgb_means[:, None, :], 0.0)
+        return Wb, Cb, Mb
 
     def cond(carry):
         st = carry[0]

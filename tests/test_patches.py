@@ -206,3 +206,59 @@ def test_jacobi_eigh_matches_lapack_on_ill_scaled_batches():
     dots = np.abs(np.einsum('bi,bi->b', np.asarray(V_j[:, :, 0]),
                             np.asarray(V_l[:, :, 0])))
     assert dots.min() > 1.0 - 1e-9, dots.min()
+
+
+def test_octant_claiming_matches_27_candidate_oracle():
+    """The octant-reduced claims pass (8 candidates per point) must agree
+    EXACTLY with an independent NumPy oracle that tries all 27 neighbour
+    offsets — the reduction's per-axis distance bound claims exactness
+    (voxel.OCT_CAND_27), so any mismatch is a bug, not a tolerance."""
+    pts, cols, valid = small_cloud(n=5000, seed=3)
+    grid, R, centers_all, claim, loc_claim, claimed = patches.claim_points(
+        pts, valid, CFG)
+
+    B = CFG.max_patches
+    keys = np.asarray(grid.keys)
+    dims = np.asarray(grid.dims)
+    origin = np.asarray(grid.origin)
+    res = float(grid.res)
+    n_leaves = int(grid.n_leaves)
+    Rn = np.asarray(R)
+    p = np.asarray(pts)
+    key2leaf = {int(k): i for i, k in enumerate(keys[:n_leaves])}
+
+    def lin_of(k3):
+        if np.any(k3 < 0) or np.any(k3 >= dims):
+            return None
+        return int((k3[0] * dims[1] + k3[1]) * dims[2] + k3[2])
+
+    r2 = (voxel.SQRT3_2 * res) ** 2
+    half = res / 2.0
+    claim_np = np.asarray(claim)
+    for i in range(p.shape[0]):
+        k3 = np.floor((p[i] - origin) / res).astype(np.int64)
+        best = B
+        best_loc = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    c3 = k3 + np.array([dx, dy, dz])
+                    lin = lin_of(c3)
+                    if lin is None or lin not in key2leaf:
+                        continue
+                    j = key2leaf[lin]
+                    center = origin + (c3 + 0.5) * res
+                    rel = p[i] - center
+                    if rel @ rel > r2:
+                        continue
+                    loc = Rn[j].T @ rel
+                    if (abs(loc[1]) > half) or (abs(loc[2]) > half):
+                        continue
+                    if j < best:
+                        best = j
+                        best_loc = loc
+        got = claim_np[i] if claim_np[i] < B else B
+        assert got == best, (i, got, best)
+        if best < B:
+            np.testing.assert_allclose(np.asarray(loc_claim[i]), best_loc,
+                                       atol=1e-9)

@@ -113,12 +113,18 @@ def test_bank_step_matches_compute_transformation():
     out = registration._bank_step(comp, CFG, rcfg, dkp, ckp, Wb, Cb, Mb,
                                   centers)
 
-    # loc is re-derived through a differently associated einsum, so exact
-    # bit equality is not expected — but the masks and gradients must agree
-    # to fp-noise level
+    # loc is re-derived through a differently associated contraction, so
+    # exact bit equality is not expected. The tolerance is set by the
+    # predictive-variance cancellation at the reference constants
+    # (sigma_f^2 = 100): var = s20 + k** + k^T C k subtracts ~1e2-magnitude
+    # quantities with ||C|| ~ 1e8, so var carries ~1e-6 intrinsic f64
+    # noise that the density gradient amplifies through 1/(var - s20)-
+    # scale factors to ~1e-3 relative on the mean gradient (measured) —
+    # association-order differences legitimately land there. Semantic
+    # breakage (claims/masks/Jacobian) would show up at O(1).
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-9)
+                                   rtol=5e-3, atol=1e-6)
 
 
 def test_full_trajectory_cadence4_matches_cadence1():
@@ -158,3 +164,92 @@ def test_full_trajectory_cadence4_matches_cadence1():
     assert dR < 0.25 * 0.0128, dR       # < 25% of the injected rotation
     # and the residual alignment quality matches between cadences
     assert abs(err1_1 - err1_4) < 0.15 * err0, (err1_1, err1_4)
+
+
+def test_table_claims_match_fallback_27_pass():
+    """The octant-reduced ClaimTables path must claim identically to the
+    table-less 27-offset fallback, including points outside the map box
+    (keyed by their grid-clamped voxel)."""
+    from gp_compressor_tpu.models import sparse_gp
+
+    (mp, mc), (sp, sc) = _map_and_scan()
+    comp = compressor.compress(mp, mc, jnp.ones(mp.shape[0], bool), CFG,
+                               jax.random.key(0))
+    batch = comp.patch
+    trained = sparse_gp.size(comp.depth_gp) > 0
+    # scan shifted so a slice of it leaves the map box entirely
+    pts = jnp.asarray(sp, jnp.float64) + jnp.asarray([0.35, -0.2, 0.1])
+    valid = jnp.ones(pts.shape[0], bool)
+
+    g_tab, loc_tab, cl_tab = registration.claim_to_patches(
+        batch.grid, batch.rotations, batch.means, trained, pts, valid,
+        CFG.patch.res)
+    grid_nt = batch.grid._replace(table=None)
+    g_fb, loc_fb, cl_fb = registration.claim_to_patches(
+        grid_nt, batch.rotations, batch.means, trained, pts, valid,
+        CFG.patch.res)
+
+    np.testing.assert_array_equal(np.asarray(cl_tab), np.asarray(cl_fb))
+    np.testing.assert_array_equal(np.asarray(g_tab), np.asarray(g_fb))
+    np.testing.assert_allclose(np.asarray(loc_tab), np.asarray(loc_fb),
+                               atol=1e-12)
+
+
+def test_closed_form_density_grads_match_autodiff():
+    """_density_grads_closed (the production likelihood_dx math,
+    src/sparse_gp.hpp:478-508) must match the autodiff of the predictive
+    density for both the depth GP and the RGB field GP on trained states,
+    including empty patches and the variance-floor clamp branch."""
+    from gp_compressor_tpu.workloads.compressor import default_params
+
+    (mp, mc), _ = _map_and_scan()
+    comp = compressor.compress(mp, mc, jnp.ones(mp.shape[0], bool), CFG,
+                               jax.random.key(1))
+    dkp, ckp = default_params(CFG)
+    B = comp.patch.rotations.shape[0]
+    P = 64
+    r = np.random.default_rng(5)
+    Xb = jnp.asarray(r.uniform(-0.2, 0.2, size=(B, P, 3)), jnp.float64)
+    Cb = jnp.asarray(r.uniform(-80, 80, size=(B, P, 3)), jnp.float64)
+    mask = jnp.asarray(r.uniform(size=(B, P)) < 0.8)
+
+    # at the reference constants the predictive-variance cancellation
+    # (see test_bank_step_matches_compute_transformation) leaves ~1e-6
+    # intrinsic f64 noise in var that the gradients amplify to ~1e-2
+    # relative on ~0.3% of entries — formula errors would hit every entry
+    gd_ref, pd_ref = registration._depth_density_grads(
+        dkp, CFG.depth_gp.s20, comp.depth_gp, Xb, mask)
+    gd, pd = registration._density_grads_closed(
+        dkp, CFG.depth_gp.s20, comp.depth_gp, Xb, Xb[..., :1], mask)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(pd_ref),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
+                               rtol=2e-2, atol=1e-4)
+
+    gc_ref, pc_ref = registration._color_density_grads(
+        ckp, CFG.rgb_gp.s20, comp.rgb_gp, Xb, Cb, mask)
+    gc, pc = registration._density_grads_closed(
+        ckp, CFG.rgb_gp.s20, comp.rgb_gp, Xb, Cb, mask, zero_y=True)
+    np.testing.assert_allclose(np.asarray(pc), np.asarray(pc_ref),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
+                               rtol=2e-2, atol=1e-4)
+
+    # sharp check at well-conditioned (calibrated-scale) hyperparameters:
+    # no cancellation, so the closed form must match autodiff tightly
+    import dataclasses
+    cfg2 = dataclasses.replace(
+        CFG,
+        depth_gp=dataclasses.replace(CFG.depth_gp, sigmaf_sq=1e-3,
+                                     l_sq=2.5e-3, s20=1e-4, eps_tol=2e-5))
+    comp2 = compressor.compress(mp, mc, jnp.ones(mp.shape[0], bool), cfg2,
+                                jax.random.key(2))
+    dkp2, _ = default_params(cfg2)
+    gd_ref2, pd_ref2 = registration._depth_density_grads(
+        dkp2, cfg2.depth_gp.s20, comp2.depth_gp, Xb, mask)
+    gd2, pd2 = registration._density_grads_closed(
+        dkp2, cfg2.depth_gp.s20, comp2.depth_gp, Xb, Xb[..., :1], mask)
+    np.testing.assert_allclose(np.asarray(pd2), np.asarray(pd_ref2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd2), np.asarray(gd_ref2),
+                               rtol=1e-6, atol=1e-9)
