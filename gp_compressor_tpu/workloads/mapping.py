@@ -481,22 +481,25 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
     _, s_hit = jax.lax.fori_loop(
         0, steps, p1_body, (st0, jnp.full((N,), bigstep, jnp.int32)))
 
-    # ---- pass 2: plane-crossing marks up to (and at) the hit ------------
-    free_marks = jnp.zeros((B * G + 1,), bool)
-    hit_marks = jnp.zeros((B * G + 1,), bool)
+    # ---- pass 2: plane-crossing marks up to (and at) the hit. One
+    # max-combined int mark array (1 = crossed/free, 2 = hit) halves the
+    # per-step scatter count; max gives hit-beats-free within the
+    # insertion, exactly the (free | fm) & ~hm combination it replaces.
+    marks = jnp.zeros((B * G + 1,), jnp.int32)
 
     def p2_body(s, carry):
-        st, free_marks, hit_marks = carry
+        st, marks = carry
         gid = gid_of(st)
         ok = (gid >= 0) & created[jnp.maximum(gid, 0)]
         g = jnp.maximum(gid, 0)
-        n = rotations[g][:, :, 0]                         # patch normals
+        R = rotations[g]                                  # one row gather
+        n = R[:, :, 0]                                    # patch normals
         mid = means[g]
         denom = jnp.sum(n * delta, axis=-1)
         dplane = jnp.sum(n * (mid - cam[None, :]), axis=-1) / \
             jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
         inter = cam[None, :] + dplane[:, None] * delta
-        loc = jnp.einsum('nji,nj->ni', rotations[g], inter - mid)
+        loc = jnp.sum(R * (inter - mid)[:, :, None], axis=1)   # R^T rel
         clip_ok = (jnp.abs(loc[:, 1]) <= half) & (jnp.abs(loc[:, 2]) <= half)
         cell = jnp.clip((sz * (loc[:, 1] / res + 0.5)).astype(jnp.int32),
                         0, sz - 1) * sz + \
@@ -504,20 +507,16 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
                      0, sz - 1)
         # rays that never pass their hit patch's voxel mark nothing (the
         # reference's reached_gp latch never fires for them)
-        okm = ok & clip_ok & (s_hit != bigstep)
-        f_idx = jnp.where(okm & (s < s_hit), g * G + cell, B * G)
-        h_idx = jnp.where(okm & (s == s_hit), g * G + cell, B * G)
-        free_marks = free_marks.at[f_idx].set(True)
-        hit_marks = hit_marks.at[h_idx].set(True)
+        okm = ok & clip_ok & (s_hit != bigstep) & (s <= s_hit)
+        idx = jnp.where(okm, g * G + cell, B * G)
+        val = jnp.where(s == s_hit, 2, 1)
+        marks = marks.at[idx].max(val)
         st = voxel.ray_walk_step(st, dims)
-        return (st._replace(active=st.active & (s < s_hit)),
-                free_marks, hit_marks)
+        return (st._replace(active=st.active & (s < s_hit)), marks)
 
-    _, free_marks, hit_marks = jax.lax.fori_loop(
-        0, steps, p2_body, (st0, free_marks, hit_marks))
-    fm = free_marks[:B * G].reshape(B, G)
-    hm = hit_marks[:B * G].reshape(B, G)
-    return (free | fm) & ~hm
+    _, marks = jax.lax.fori_loop(0, steps, p2_body, (st0, marks))
+    m = marks[:B * G].reshape(B, G)
+    return (free | (m == 1)) & ~(m == 2)
 
 
 # ---------------------------------------------------------------------------
@@ -595,6 +594,38 @@ def add_cloud_fused(state: MapState, points, colors, valid,
         lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
                              min_nbr, use_pallas=use_pallas),
         None)
+    return state, diverged, reg_steps
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "rcfg",
+                                              "use_pallas"))
+def add_clouds(state: MapState, points, colors, valid,
+               cfg: CompressorConfig, mcfg: MappingConfig, key: jax.Array,
+               rcfg: RegistrationConfig = RegistrationConfig(),
+               use_pallas: bool = False):
+    """Streaming entry point: fold a BATCH of scans into the map under one
+    `lax.scan` — a single device dispatch for the whole stream.
+
+    On the tunneled single-chip backend a dispatch of the full MapState
+    pytree costs ~0.8 s in per-buffer round trips alone (measured: one
+    add_cloud_fused dispatch walls 1.09 s against 0.28 s of device time),
+    so per-scan dispatching triples the cost of mapping; production scan
+    streams arrive in batches anyway (the reference's directory loop,
+    src/test_gp_mapping_no_vis.cpp:34-69).
+
+    points/colors: [S, N, 3]; valid: [S, N]. Returns
+    (state, diverged [S], reg_steps [S]).
+    """
+
+    def body(st, xs):
+        p, c, v, k = xs
+        st, dvg, steps = add_cloud_fused(st, p, c, v, cfg, mcfg, k,
+                                         rcfg=rcfg, use_pallas=use_pallas)
+        return st, (dvg, steps)
+
+    keys = jax.random.split(key, points.shape[0])
+    state, (diverged, reg_steps) = jax.lax.scan(
+        body, state, (points, colors, valid, keys))
     return state, diverged, reg_steps
 
 

@@ -76,8 +76,19 @@ class ClaimTables(NamedTuple):
                              #           where the candidate is missing or
                              #           untrained)
     gid: jnp.ndarray         # [Bx*8, 8] candidate gp_index (0 where !ok)
-    R: jnp.ndarray           # [Bx*8, 8, 9] candidate frames (0 where !ok)
-    mean: jnp.ndarray        # [Bx*8, 8, 3] candidate patch means
+    R12: jnp.ndarray         # [Bx*8, 8, 6] candidate frame cols 1, 2
+                             # (u/v axes; 0 where !ok). Col 0 (the normal)
+                             # is NOT in the rows: the clip test evaluates
+                             # loc_{1,2} = R12^T (p - voxel_center), which
+                             # equals the reference's R12^T (p - mean)
+                             # because mean - center = mn * normal and
+                             # R12 _|_ normal — so only the winner needs
+                             # the normal/mean (one compact gather below),
+                             # cutting the bandwidth-bound per-point row
+                             # from 14 to 8 values and the table build by
+                             # ~40%.
+    nm: jnp.ndarray          # [Bgp, 6] per-GP-INDEX (normal, mean) for
+                             # the winner's depth coordinate
 
 
 def build_claim_tables(grid, rotations, means, trained,
@@ -110,16 +121,17 @@ def build_claim_tables(grid, rotations, means, trained,
     cok = nb_ok & trained[g]
     sidx27 = jnp.where(cok, nb_idx, B_slots).astype(i32)
     gid27 = jnp.where(cok, g, 0).astype(i32)
-    Rr27 = jnp.where(cok[..., None], rotations[g].reshape(Bx, 27, 9), 0.0)
-    mr27 = jnp.where(cok[..., None], means[g], 0.0)
+    R12_27 = jnp.where(cok[..., None],
+                       rotations[g][..., 1:].transpose(0, 1, 3, 2)
+                       .reshape(Bx, 27, 6), 0.0)
     # expand to (cell, octant) rows of the 8 reachable candidates
     sel = jnp.asarray(voxel.OCT_CAND_27)                         # [8, 8]
     return ClaimTables(
         cell_row=cell_row,
         sidx=sidx27[:, sel].reshape(Bx * 8, 8),
         gid=gid27[:, sel].reshape(Bx * 8, 8),
-        R=Rr27[:, sel].reshape(Bx * 8, 8, 9),
-        mean=mr27[:, sel].reshape(Bx * 8, 8, 3))
+        R12=R12_27[:, sel].reshape(Bx * 8, 8, 6),
+        nm=jnp.concatenate([rotations[:, :, 0], means], axis=1))
 
 
 def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
@@ -147,28 +159,33 @@ def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
     oct_id = voxel.octant_of(relh)
     row8 = jnp.where(has, row, 0) * 8 + oct_id
 
-    Rk = tables.R[row8].reshape(N, 8, 3, 3)                      # row gather
-    mk = tables.mean[row8]
+    Rk = tables.R12[row8].reshape(N, 8, 2, 3)                    # row gather
     sk = tables.sidx[row8]
     gk = tables.gid[row8]
     co = jnp.asarray(voxel.OCT_CAND_OFFS, dt)[oct_id] * res      # [N, 8, 3]
-    d2 = jnp.sum((relh[:, None, :] - co) ** 2, axis=-1)
-    rel = points[:, None, :] - mk
-    # R^T rel as broadcast-multiply + reduce (VPU; see patches.claim_points)
-    loc = jnp.sum(Rk * rel[..., None], axis=2)                   # [N, 8, 3]
+    relc = relh[:, None, :] - co                                 # p - center_k
+    d2 = jnp.sum(relc * relc, axis=-1)
+    # clip coords against the candidate's voxel center (== against its
+    # patch mean up to R12 _|_ normal — see ClaimTables.R12); VPU
+    # broadcast-multiply + reduce
+    loc12 = jnp.sum(Rk * relc[:, :, None, :], axis=3)            # [N, 8, 2]
     pass_ = (has[:, None] & (sk < B_slots)
              & (d2 <= (voxel.SQRT3_2 * res) ** 2)
-             & (loc[..., 1] <= half) & (loc[..., 1] >= -half)
-             & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
+             & (loc12[..., 0] <= half) & (loc12[..., 0] >= -half)
+             & (loc12[..., 1] <= half) & (loc12[..., 1] >= -half))
     masked = jnp.where(pass_, sk, B_slots)
     # first-claim = min leaf slot; winner one-hot unique for claimed points
     best = jnp.min(masked, axis=1)
     claimed = best < B_slots
     win = masked == best[:, None]
+    uv = jnp.sum(jnp.where(win[..., None], loc12, 0.0), axis=1)  # [N, 2]
+    gwin = jnp.sum(jnp.where(win, gk, 0), axis=1)
+    # winner-only depth: one compact (normal, mean) gather per point
+    nm = tables.nm[jnp.where(claimed, gwin, 0)]                  # [N, 6]
+    depth = jnp.sum(nm[:, :3] * (points - nm[:, 3:]), axis=-1)
     loc_claim = jnp.where(
         claimed[:, None],
-        jnp.sum(jnp.where(win[..., None], loc, 0.0), axis=1), 0.0)
-    gwin = jnp.sum(jnp.where(win, gk, 0), axis=1)
+        jnp.concatenate([depth[:, None], uv], axis=-1), 0.0)
     gclaim = jnp.where(claimed, gwin, out_fill).astype(jnp.int32)
     return gclaim, loc_claim, claimed
 
