@@ -238,38 +238,40 @@ def _sync(*arrays):
 
 def bench_calibrated(pts, cols, valid, cfg, comp, use_pallas):
     """North-star configuration: compress+decompress with MAP-calibrated
-    (sigmaf^2, l^2, s20) — BASELINE.json:5."""
+    (sigmaf^2, l^2, s20) — BASELINE.json:5. The whole
+    calibrate->train->decompress round trip is ONE jit (the calibrated
+    hyperparameters stay traced: SMEM params in the Pallas kernel), so
+    unlike the staged compress_calibrated a fresh calibration costs no
+    retrace and no host fetches."""
     import jax
     import jax.numpy as jnp
 
     from gp_compressor_tpu.workloads import compressor
 
     def run(key):
-        c, kp, s20, cal_cfg = compressor.compress_calibrated(
+        return compressor.compress_decompress_calibrated(
             pts, cols, valid, cfg, key, use_pallas=use_pallas,
-            method="map", calib_patches=32, calib_points=64,
-            calib_steps=400, calib_lr=0.1)
-        out = compressor.decompress(c, cal_cfg, depth_kp=kp)
-        return c, kp, cal_cfg, out
+            calib_patches=32, calib_points=64, calib_steps=400,
+            calib_lr=0.1)
 
-    # warmup, then time with the SAME key: a different key gives a (float-)
-    # different calibrated config, whose static fields would force a full
-    # retrace of the train program — the timed run measures the production
-    # cadence (calibrate + train + decompress with warm caches)
-    c, kp, cal_cfg, out = run(jax.random.key(0))          # warmup/compile
+    c, kp, s20, out = run(jax.random.key(0))              # warmup/compile
     _sync(out[0])
-    t0 = time.perf_counter()
-    c, kp, cal_cfg, out = run(jax.random.key(0))
-    _sync(out[0])
-    wall = time.perf_counter() - t0
-    rmse = float(compressor.reconstruction_rmse(c, cal_cfg, depth_kp=kp))
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        c, kp, s20, out = run(jax.random.key(i + 1))      # fresh keys: no
+        _sync(out[0])                                     # retrace by design
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rmse = float(compressor.reconstruction_rmse(c, cfg, depth_kp=kp,
+                                                depth_s20=s20))
     return {
         "points_per_s": round(N_POINTS / wall, 1),
         "wall_s": round(wall, 3),
         "in_sample_rmse_m": round(rmse, 4),
         "sigmaf_sq": round(float(kp.sigmaf_sq), 5),
         "l_sq": round(float(kp.l_sq), 5),
-        "s20": round(cal_cfg.depth_gp.s20, 6),
+        "s20": round(float(s20), 6),
     }
 
 
@@ -281,11 +283,15 @@ def bench_nuts(pts, cols, valid, cfg, comp, use_pallas):
 
     from gp_compressor_tpu.config import HMCConfig
     from gp_compressor_tpu.inference import hmc, nuts
+    from gp_compressor_tpu.workloads import compressor
 
     batch = comp.patch
     Bc, n = 16, 48
-    logpost = hmc.make_patch_logpost(batch.X[:Bc, :n], batch.y[:Bc, :n, 0],
-                                     batch.mask[:Bc, :n].astype(batch.X.dtype))
+    # dense valid-first subsample: the banks are scatter-time shuffled, so
+    # raw [:Bc, :n] slices are mostly padding — a near-flat posterior that
+    # chains wander on (observed max_rhat ~20)
+    Xc, yc, mc = compressor.calib_subsample(batch, Bc, n)
+    logpost = hmc.make_patch_logpost(Xc, yc, mc.astype(batch.X.dtype))
     hcfg = HMCConfig(num_warmup=50, num_samples=100, num_chains=4)
     theta0 = jnp.asarray([np.log(100.0), 0.0, np.log(0.1)], batch.X.dtype)
     th0 = theta0[None, :] + 0.2 * jax.random.normal(

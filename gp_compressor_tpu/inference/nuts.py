@@ -48,7 +48,14 @@ def _uturn(theta_m, p_m, theta_p, p_p, inv_mass):
 
 def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
               max_depth: int = 8):
-    """One NUTS transition. Returns (theta, accept_stat, n_leapfrog)."""
+    """One NUTS transition. Returns (theta, accept_stat, n_leapfrog).
+
+    The doubling loop is a `lax.while_loop` over a DYNAMIC depth: a
+    trajectory that U-turns at depth d costs 2^(d+1)-1 leapfrogs, not the
+    2^max_depth-1 an unrolled loop would always pay. Typical trees stop at
+    depth 2-4, so this is ~10-60x fewer model-gradient evaluations per
+    transition than the fully-unrolled form (under vmap the loop runs until
+    the slowest chain finishes — still the max over chains, not 2^max)."""
     lg = jax.value_and_grad(logpost)
     dim = theta0.shape[0]
     Lmax = 1 << max_depth
@@ -69,15 +76,17 @@ def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
         diverged: jnp.ndarray
         sum_acc: jnp.ndarray       # accept-stat accumulator
         n_lf: jnp.ndarray
+        depth: jnp.ndarray
         key: jax.Array
 
     carry = Carry(z0, z0, z0, jnp.asarray(0.0), jnp.asarray(False),
                   jnp.asarray(False), jnp.asarray(0.0),
-                  jnp.asarray(0, jnp.int32), key)
+                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), key)
 
     # buffers for the current subtree's states
-    def build_and_merge(carry: Carry, depth: int):
-        n = 1 << depth
+    def build_and_merge(carry: Carry):
+        depth = carry.depth
+        n = jnp.left_shift(1, depth)                  # dynamic subtree size
         kdir, ksel, kin, knext = jax.random.split(carry.key, 4)
         go_right = jax.random.bernoulli(kdir)
         z_start = jax.tree.map(
@@ -86,8 +95,8 @@ def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
         step_eps = jnp.where(go_right, eps, -eps)
         dirsign = jnp.where(go_right, 1.0, -1.0)
 
-        thetas0 = jnp.zeros((n, dim))
-        ps0 = jnp.zeros((n, dim))
+        thetas0 = jnp.zeros((Lmax, dim))
+        ps0 = jnp.zeros((Lmax, dim))
 
         def leaf(i, st):
             (z, thetas, ps, log_w, z_prop, turning, diverged, sum_acc,
@@ -110,7 +119,7 @@ def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
             # sub-U-turn checks: leaf i closes blocks of size 2^k whenever
             # (i+1) % 2^k == 0; compare against the block's first leaf
             def check(k, t):
-                blk = 1 << k
+                blk = jnp.left_shift(1, k)
                 closes = ((i + 1) % blk) == 0
                 first = i + 1 - blk
                 th_f = thetas[jnp.maximum(first, 0)]
@@ -123,8 +132,7 @@ def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
                      (jnp.sum(d * (inv_mass * z.p)) < 0.0)
                 return t | (closes & ut)
 
-            turning = lax.fori_loop(1, depth + 1, check, turning) \
-                if depth > 0 else turning
+            turning = lax.fori_loop(1, depth + 1, check, turning)
             diverged = diverged | div
             return (z, thetas, ps, log_w_new, z_prop, turning, diverged,
                     sum_acc, rng)
@@ -155,12 +163,11 @@ def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
         return Carry(z_minus, z_plus, z_sample, log_w_total, turning,
                      carry.diverged | diverged,
                      carry.sum_acc + sum_acc_sub,
-                     carry.n_lf + n, knext)
+                     carry.n_lf + n, depth + 1, knext)
 
-    for depth in range(max_depth):
-        new = build_and_merge(carry, depth)
-        carry = jax.tree.map(
-            lambda a, b: jnp.where(carry.turning, b, a), new, carry)
+    carry = lax.while_loop(
+        lambda c: (~c.turning) & (c.depth < max_depth),
+        build_and_merge, carry)
 
     acc_stat = carry.sum_acc / jnp.maximum(carry.n_lf, 1)
     return carry.z_sample.theta, acc_stat, carry.n_lf

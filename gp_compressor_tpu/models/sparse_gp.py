@@ -160,11 +160,15 @@ def _geometric_scores(state: SOGPState) -> jnp.ndarray:
 
 def add_point(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
               state: SOGPState, x: jnp.ndarray, y: jnp.ndarray,
-              valid=True) -> SOGPState:
+              valid=True, eps_tol=None) -> SOGPState:
     """One Csató–Opper update. x: [dim], y: [dout], valid: bool (no-op pad).
 
     Computes both the sparse and full updates and selects — under `vmap`
     a `lax.cond` lowers to the same select, so this is explicit about cost.
+
+    eps_tol: optional TRACED override of cfg.eps_tol (the novelty
+    threshold), so calibrated runs with data-dependent hyperparameters
+    share one compiled program.
     """
     dt = state.C.dtype
     cap1 = state.slots
@@ -206,7 +210,7 @@ def add_point(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
     bv_f = state.bv * (1.0 - oh)[:, None] + jnp.outer(oh, x)
     active_f = state.active | (jnp.arange(cap1) == slot)
 
-    use_sparse = gamma < cfg.eps_tol
+    use_sparse = gamma < (cfg.eps_tol if eps_tol is None else eps_tol)
     new = SOGPState(
         bv=jnp.where(use_sparse, state.bv, bv_f),
         alpha=jnp.where(use_sparse, alpha_s, alpha_f),
@@ -235,7 +239,7 @@ def add_point(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
 def add_points(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
                state: SOGPState, X: jnp.ndarray, Y: jnp.ndarray,
                mask: Optional[jnp.ndarray] = None,
-               key: Optional[jax.Array] = None) -> SOGPState:
+               key: Optional[jax.Array] = None, eps_tol=None) -> SOGPState:
     """Insert a chunk of points under `lax.scan`.
 
     X: [n, dim], Y: [n, dout], mask: [n] validity (padding), key: optional
@@ -252,7 +256,7 @@ def add_points(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
 
     def step(st, inp):
         x, y, v = inp
-        return add_point(kp, noise, cfg, st, x, y, v), None
+        return add_point(kp, noise, cfg, st, x, y, v, eps_tol=eps_tol), None
 
     state, _ = lax.scan(step, state, (X, Y, mask))
     return state
@@ -261,7 +265,8 @@ def add_points(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
 def add_points_batch(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
                      states: SOGPState, X: jnp.ndarray, Y: jnp.ndarray,
                      mask: jnp.ndarray,
-                     keys: Optional[jax.Array] = None) -> SOGPState:
+                     keys: Optional[jax.Array] = None,
+                     eps_tol=None) -> SOGPState:
     """vmap over the patch axis: X [B, n, dim], Y [B, n, dout], mask [B, n].
 
     This is the TPU shape of the reference's serial per-leaf training loop
@@ -269,9 +274,11 @@ def add_points_batch(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
     [B, slots, slots] rank-1 algebra on the VPU/MXU.
     """
     if keys is None:
-        f = jax.vmap(lambda st, x, y, m: add_points(kp, noise, cfg, st, x, y, m))
+        f = jax.vmap(lambda st, x, y, m: add_points(
+            kp, noise, cfg, st, x, y, m, eps_tol=eps_tol))
         return f(states, X, Y, mask)
-    f = jax.vmap(lambda st, x, y, m, k: add_points(kp, noise, cfg, st, x, y, m, k))
+    f = jax.vmap(lambda st, x, y, m, k: add_points(
+        kp, noise, cfg, st, x, y, m, k, eps_tol=eps_tol))
     return f(states, X, Y, mask, keys)
 
 

@@ -63,6 +63,7 @@ def _kernel(cfg: GPConfig, n_points: int,
     sigmaf_sq = prm_ref[0, 0]
     l_sq = prm_ref[0, 1]
     s20 = prm_ref[0, 2]
+    eps_tol = prm_ref[0, 3]
     kstar = sigmaf_sq
     iota = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
 
@@ -132,7 +133,7 @@ def _kernel(cfg: GPConfig, n_points: int,
         r = -1.0 / (s20 + s2)              # Gaussian noise dx2_ln
         q = (y - m) / (s20 + s2)           # [D, L] dx_ln
 
-        sp = (gamma < cfg.eps_tol).astype(jnp.float32)          # [L] 1=sparse
+        sp = (gamma < eps_tol).astype(jnp.float32)              # [L] 1=sparse
         eta = 1.0 / (1.0 + gamma * r)
         slot = jnp.argmin(act, axis=0)                          # [L]
         oh = (iota == slot[None, :]).astype(jnp.float32)        # [S, L]
@@ -208,10 +209,15 @@ def _from_lanes(a, B):
 def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
                             X: jnp.ndarray, Y: jnp.ndarray,
                             mask: jnp.ndarray,
-                            interpret: bool = False) -> SOGPState:
+                            interpret: bool = False,
+                            s20=None, eps_tol=None) -> SOGPState:
     """Drop-in for sparse_gp.add_points_batch (Gaussian noise, no shuffle —
     pre-permute X/Y/mask outside if desired). X: [B, P, 2], Y: [B, P, D],
-    mask: [B, P]."""
+    mask: [B, P].
+
+    s20 / eps_tol: optional TRACED overrides of the config constants; they
+    ride the SMEM param row, so a calibrated run (traced hyperparameters
+    from MAP/HMC) reuses the same compiled kernel instead of retracing."""
     B, P, _ = X.shape
     dt = states.C.dtype
 
@@ -225,8 +231,11 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     actl = _to_lanes(states.active.astype(dt), B)  # [nblk, S, L]
     nblk = Xl.shape[0]
 
-    prm = jnp.stack([jnp.asarray(kp.sigmaf_sq, dt), jnp.asarray(kp.l_sq, dt),
-                     jnp.asarray(cfg.s20, dt)])[None, :]          # [1, 3]
+    prm = jnp.stack([
+        jnp.asarray(kp.sigmaf_sq, dt), jnp.asarray(kp.l_sq, dt),
+        jnp.asarray(cfg.s20 if s20 is None else s20, dt),
+        jnp.asarray(cfg.eps_tol if eps_tol is None else eps_tol, dt),
+    ])[None, :]                                                   # [1, 4]
     kern = functools.partial(_kernel, cfg, P)
 
     def bspec(shape):
@@ -251,7 +260,7 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     bv2, a2, C2, Q2, act2 = pl.pallas_call(
         kernel_wrap,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   bspec(Xl.shape[1:]), bspec(Yl.shape[1:]), bspec(Vl.shape[1:]),
                   bspec(bvl.shape[1:]), bspec(al.shape[1:]),

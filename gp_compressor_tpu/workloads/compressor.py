@@ -63,13 +63,15 @@ def project(points: jnp.ndarray, colors: jnp.ndarray, valid: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas",
-                                              "banks_shuffled"))
+                                              "banks_shuffled", "full_probes"))
 def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
           key: jax.Array,
           depth_kp: Optional[RBFParams] = None,
           rgb_kp: Optional[RBFParams] = None,
           use_pallas: bool = False,
-          banks_shuffled: bool = False) -> CompressedCloud:
+          banks_shuffled: bool = False,
+          depth_s20=None, depth_eps=None,
+          full_probes: bool = False) -> CompressedCloud:
     """train_processes equivalent (src/gp_compressor.cpp:121-175): feed each
     patch's claimed points into its depth GP and RGB field GP, with the
     reference's shuffle-before-insert (src/sparse_gp.hpp:43-56).
@@ -78,13 +80,19 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
     VMEM-resident kernel (pallas_kernels.sogp_train) — TPU only.
     banks_shuffled=True promises the banks were already scatter-time
     shuffled (project(..., shuffle_key=...)), skipping the expensive
-    [B, P] permutation gathers here."""
+    [B, P] permutation gathers here.
+    depth_s20 / depth_eps: optional TRACED overrides of the depth GP's
+    noise floor and novelty threshold — lets a calibrate->train pipeline
+    stay one compiled program instead of retracing per calibration.
+    full_probes=True forces full-grid health probes (use when the
+    length-scale may calibrate below the patch footprint)."""
     dkp, ckp = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
     rgb_kp = rgb_kp if rgb_kp is not None else ckp
+    d_s20 = jnp.asarray(cfg.depth_gp.s20) if depth_s20 is None else depth_s20
     B = batch.mask.shape[0]
     kd, kc = jax.random.split(key)
-    dnoise = GaussianNoise(s20=jnp.asarray(cfg.depth_gp.s20))
+    dnoise = GaussianNoise(s20=d_s20)
     cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20))
 
     dstates = sparse_gp.init_batch(cfg.depth_gp, B)
@@ -104,13 +112,14 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
             Xs, ys, rs = take(batch.X), take(batch.y), take(batch.rgb)
             ms = jnp.take_along_axis(batch.mask, perm, axis=1)
         dstates = sogp_train.add_points_batch_pallas(
-            depth_kp, cfg.depth_gp, dstates, Xs, ys, ms)
+            depth_kp, cfg.depth_gp, dstates, Xs, ys, ms,
+            s20=depth_s20, eps_tol=depth_eps)
         cstates = sogp_train.add_points_batch_pallas(
             rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms)
     else:
         dstates = sparse_gp.add_points_batch(
             depth_kp, dnoise, cfg.depth_gp, dstates, batch.X, batch.y,
-            batch.mask, jax.random.split(kd, B))
+            batch.mask, jax.random.split(kd, B), eps_tol=depth_eps)
         cstates = sparse_gp.add_points_batch(
             rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb,
             batch.mask, jax.random.split(kc, B))
@@ -120,11 +129,12 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
     # calibrated length-scale (l < res) a blow-up can be local to a few
     # grid cells, so probe the full grid in that regime
     grid = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)
-    dprobes = grid[::5] if cfg.depth_gp.l_sq >= cfg.patch.res ** 2 else grid
+    dfull = full_probes or cfg.depth_gp.l_sq < cfg.patch.res ** 2
+    dprobes = grid if dfull else grid[::5]
     cprobes = grid[::5] if cfg.rgb_gp.l_sq >= cfg.patch.res ** 2 else grid
     # health bounds ~10x beyond any legitimate posterior: depth lives
     # within +-res of the patch plane, colors within +-255 of the mean
-    dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, cfg.depth_gp.s20,
+    dstates, _ = sparse_gp.sanitize_batch(dstates, depth_kp, d_s20,
                                           max_pred=10.0 * cfg.patch.res,
                                           probes=dprobes)
     cstates, _ = sparse_gp.sanitize_batch(cstates, rgb_kp, cfg.rgb_gp.s20,
@@ -135,7 +145,8 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decompress(comp: CompressedCloud, cfg: CompressorConfig,
                depth_kp: Optional[RBFParams] = None,
-               rgb_kp: Optional[RBFParams] = None):
+               rgb_kp: Optional[RBFParams] = None,
+               depth_s20=None):
     """load_compressed equivalent (src/gp_compressor.cpp:267-386).
 
     Returns (points [B*G, 3], colors [B*G, 3] in 0..255, valid [B*G]),
@@ -150,8 +161,9 @@ def decompress(comp: CompressedCloud, cfg: CompressorConfig,
     grid_uv = patches_mod.prediction_grid(cfg.patch, batch.X.dtype)   # [G,2]
     G = grid_uv.shape[0]
 
+    d_s20 = cfg.depth_gp.s20 if depth_s20 is None else depth_s20
     dmean, _ = sparse_gp.predict_batch(
-        depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+        depth_kp, d_s20, comp.depth_gp,
         jnp.broadcast_to(grid_uv, (B, G, 2)))                          # [B,G,1]
     cmean, _ = sparse_gp.predict_batch(
         rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
@@ -176,14 +188,16 @@ def decompress(comp: CompressedCloud, cfg: CompressorConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def reconstruction_rmse(comp: CompressedCloud, cfg: CompressorConfig,
-                        depth_kp: Optional[RBFParams] = None):
+                        depth_kp: Optional[RBFParams] = None,
+                        depth_s20=None):
     """In-sample depth RMS over the actual projected points — the
     instrumentation the reference left commented out
     (src/gp_compressor.cpp:303-315) and prints at :381."""
     dkp, _ = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
+    d_s20 = cfg.depth_gp.s20 if depth_s20 is None else depth_s20
     batch = comp.patch
-    mean, _ = sparse_gp.predict_batch(depth_kp, cfg.depth_gp.s20,
+    mean, _ = sparse_gp.predict_batch(depth_kp, d_s20,
                                       comp.depth_gp, batch.X)          # [B,P,1]
     err2 = jnp.sum(jnp.where(batch.mask, (mean[..., 0] - batch.y[..., 0]) ** 2,
                              0.0))
@@ -214,6 +228,80 @@ def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
     return comp, out
 
 
+@functools.partial(jax.jit, static_argnames=("n_patches", "n_points"))
+def calib_subsample(batch: patches_mod.PatchBatch, n_patches: int,
+                    n_points: int):
+    """Select a dense, valid-first calibration subsample from a patch bank.
+
+    Banks may be scatter-time shuffled (padding interleaved with data), so
+    taking the first rows/slots can yield mostly-invalid entries — a
+    near-flat marginal-likelihood surface that MAP/NUTS then wanders on.
+    Instead take the n_patches patches with the most claimed points and
+    compact each one's valid points to the front.
+    Returns (X [B, n, 2], y [B, n], mask [B, n])."""
+    counts = jnp.sum(batch.mask, axis=1)
+    _, top = jax.lax.top_k(counts, n_patches)
+    Xb = batch.X[top]
+    yb = batch.y[top, :, 0]
+    mb = batch.mask[top]
+    order = jnp.argsort(~mb, axis=1, stable=True)[:, :n_points]  # valid first
+    X = jnp.take_along_axis(Xb, order[:, :, None], axis=1)
+    y = jnp.take_along_axis(yb, order, axis=1)
+    m = jnp.take_along_axis(mb, order, axis=1)
+    return X, y, m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "use_pallas", "calib_patches", "calib_points", "calib_steps"))
+def compress_decompress_calibrated(points, colors, valid,
+                                   cfg: CompressorConfig, key,
+                                   use_pallas: bool = False,
+                                   calib_patches: int = 32,
+                                   calib_points: int = 64,
+                                   calib_steps: int = 400,
+                                   calib_lr: float = 0.1):
+    """The north-star round trip (BASELINE.json: compress+decompress with
+    Bayesian-calibrated hyperparameters) in ONE device dispatch.
+
+    project -> MAP ascent of the exact-GP marginal posterior over
+    (sigma_f^2, l^2, s20) on a patch-bank subsample -> sparse-GP training
+    with the TRACED calibrated values (they ride the Pallas kernel's SMEM
+    param row / the scan's carried scalars) -> grid decompression. Unlike
+    the staged compress_calibrated, nothing is fetched to host between
+    stages and a new calibration never retraces the train program.
+
+    Returns (CompressedCloud, depth RBFParams, s20 [traced scalar],
+    decompress outputs)."""
+    from gp_compressor_tpu.inference import hmc
+
+    ks, kt = jax.random.split(key)
+    batch = project(points, colors, valid, cfg, shuffle_key=ks)
+    B = min(calib_patches, batch.X.shape[0])
+    n = min(calib_points, batch.X.shape[1])
+    Xc, yc, mc = calib_subsample(batch, B, n)
+    calib_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    logpost = hmc.make_patch_logpost(
+        jnp.asarray(Xc, calib_dt), jnp.asarray(yc, calib_dt),
+        jnp.asarray(mc, calib_dt))
+    import numpy as np
+    theta0 = jnp.asarray([np.log(cfg.depth_gp.sigmaf_sq),
+                          np.log(cfg.depth_gp.l_sq),
+                          np.log(cfg.depth_gp.s20)], calib_dt)
+    theta, _ = hmc.map_estimate(logpost, theta0, steps=calib_steps,
+                                lr=calib_lr)
+    dt = batch.X.dtype
+    sf, l2, s20 = [jnp.asarray(v, dt) for v in jnp.exp(theta)]
+    depth_kp = RBFParams(sigmaf_sq=sf, l_sq=l2)
+    # keep the RELATIVE novelty floor: eps_tol's natural scale is sigmaf_sq
+    # (see compress_calibrated below)
+    eps_cal = cfg.depth_gp.eps_tol * sf / cfg.depth_gp.sigmaf_sq
+    comp = train(batch, cfg, kt, depth_kp=depth_kp, use_pallas=use_pallas,
+                 banks_shuffled=True, depth_s20=s20, depth_eps=eps_cal,
+                 full_probes=True)
+    out = decompress(comp, cfg, depth_kp=depth_kp, depth_s20=s20)
+    return comp, depth_kp, s20, out
+
+
 def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
                         use_pallas: bool = False, method: str = "map",
                         calib_patches: int = 32, calib_points: int = 64,
@@ -236,15 +324,15 @@ def compress_calibrated(points, colors, valid, cfg: CompressorConfig, key,
     batch = project(points, colors, valid, cfg)
     B = min(calib_patches, batch.X.shape[0])
     n = min(calib_points, batch.X.shape[1])
+    Xc, yc, mc = calib_subsample(batch, B, n)
     # device-clean dtype: float64 only where x64 is actually enabled (CPU
     # tests); on TPU the exact-GP marginal runs float32 — the
     # difference-form Gram plus the s20 diagonal keep the [n, n] Cholesky
     # conditioned (kappa ~ sigmaf^2 n / s20 ~ 6e4 << 1/eps_f32)
     calib_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     logpost = hmc.make_patch_logpost(
-        jnp.asarray(batch.X[:B, :n], calib_dt),
-        jnp.asarray(batch.y[:B, :n, 0], calib_dt),
-        jnp.asarray(batch.mask[:B, :n], calib_dt))
+        jnp.asarray(Xc, calib_dt), jnp.asarray(yc, calib_dt),
+        jnp.asarray(mc, calib_dt))
     theta0 = jnp.asarray([np.log(cfg.depth_gp.sigmaf_sq),
                           np.log(cfg.depth_gp.l_sq),
                           np.log(cfg.depth_gp.s20)])

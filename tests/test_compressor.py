@@ -130,6 +130,75 @@ def test_compress_calibrated_improves_heldout_loglik():
     assert ll_cal > ll_base, (ll_base, ll_cal)
 
 
+def test_traced_hyperparameter_overrides_match_static_config():
+    """train(depth_s20=, depth_eps=) with TRACED values must reproduce the
+    program with the same constants baked statically into the config, on
+    both the XLA scan path and the Pallas kernel (interpret mode) — the
+    plumbing the one-jit calibrated pipeline rides."""
+    import dataclasses
+
+    from gp_compressor_tpu.pallas_kernels import sogp_train
+
+    pts, cols = synthetic.room_cloud(n=6000, seed=3)
+    ptsj, colsj = jnp.asarray(pts, jnp.float64), jnp.asarray(cols, jnp.float64)
+    valid = jnp.ones(pts.shape[0], bool)
+    batch = compressor.project(ptsj, colsj, valid, CFG)
+
+    s20, eps = 0.013, 0.37
+    static_cfg = dataclasses.replace(CFG, depth_gp=dataclasses.replace(
+        CFG.depth_gp, s20=s20, eps_tol=eps))
+    a = compressor.train(batch, static_cfg, jax.random.key(5))
+    b = compressor.train(batch, CFG, jax.random.key(5),
+                         depth_s20=jnp.asarray(s20, jnp.float64),
+                         depth_eps=jnp.asarray(eps, jnp.float64))
+    np.testing.assert_array_equal(np.asarray(a.depth_gp.active),
+                                  np.asarray(b.depth_gp.active))
+    np.testing.assert_allclose(np.asarray(a.depth_gp.alpha),
+                               np.asarray(b.depth_gp.alpha), rtol=1e-12)
+
+    # Pallas kernel (interpret mode): SMEM param row carries s20/eps_tol
+    f32 = lambda t: jax.tree.map(lambda x: jnp.asarray(x, jnp.float32)
+                                 if jnp.issubdtype(x.dtype, jnp.floating)
+                                 else x, t)
+    from gp_compressor_tpu.models import sparse_gp
+    cfg32 = dataclasses.replace(CFG.depth_gp, dtype=jnp.float32,
+                                s20=s20, eps_tol=eps)
+    st0 = sparse_gp.init_batch(cfg32, batch.X.shape[0])
+    kp = compressor.default_params(CFG)[0]
+    pa = sogp_train.add_points_batch_pallas(
+        f32(kp), cfg32, st0, f32(batch.X), f32(batch.y),
+        batch.mask, interpret=True)
+    pb = sogp_train.add_points_batch_pallas(
+        f32(kp), dataclasses.replace(cfg32, s20=0.9, eps_tol=9.9), st0,
+        f32(batch.X), f32(batch.y), batch.mask, interpret=True,
+        s20=jnp.float32(s20), eps_tol=jnp.float32(eps))
+    np.testing.assert_array_equal(np.asarray(pa.active), np.asarray(pb.active))
+    np.testing.assert_allclose(np.asarray(pa.alpha), np.asarray(pb.alpha),
+                               rtol=1e-6)
+
+
+def test_fused_calibrated_roundtrip_is_one_jit_and_accurate():
+    """compress_decompress_calibrated: the one-dispatch north-star path
+    returns a finite reconstruction at least as accurate as the
+    fixed-constant path on held-in data, with cm-scale calibrated values."""
+    pts, cols = synthetic.room_cloud(n=9000, seed=11)
+    ptsj = jnp.asarray(pts, jnp.float64)
+    colsj = jnp.asarray(cols, jnp.float64)
+    valid = jnp.ones(pts.shape[0], bool)
+
+    comp, kp, s20, out = compressor.compress_decompress_calibrated(
+        ptsj, colsj, valid, CFG, jax.random.key(0), calib_steps=300)
+    world, colors, vmask = out[0], out[1], out[2]
+    assert np.isfinite(np.asarray(world)[np.asarray(vmask)]).all()
+    rmse = float(compressor.reconstruction_rmse(comp, CFG, depth_kp=kp,
+                                                depth_s20=s20))
+    assert np.isfinite(rmse) and rmse < 0.08, rmse
+    # calibration must leave the reference's misspecified scale
+    # (sigma_f^2 = 100 on cm-amplitude data)
+    assert float(kp.sigmaf_sq) < 10.0, float(kp.sigmaf_sq)
+    assert float(s20) < 0.1, float(s20)
+
+
 def test_smc_refine_pose_improves_offset():
     from gp_compressor_tpu.config import MappingConfig, SMCConfig
     from gp_compressor_tpu.workloads import mapping
