@@ -173,13 +173,52 @@ def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
     return carry.z_sample.theta, acc_stat, carry.n_lf
 
 
+def find_reasonable_step_size(logpost: Callable, theta0, key, inv_mass,
+                              eps0, max_doublings: int = 30):
+    """Hoffman & Gelman (2014) Algorithm 4: double/halve eps until the
+    one-leapfrog acceptance ratio crosses 1/2. Costs ~10 single leapfrogs
+    and saves the dual-averaging warmup from starting orders of magnitude
+    off scale — a blind eps that is 100x too large makes every early
+    warmup trajectory a full 2^max_depth-leapfrog divergent tree."""
+    lg = jax.value_and_grad(logpost)
+    p0 = jax.random.normal(key, theta0.shape, theta0.dtype) / \
+        jnp.sqrt(inv_mass)
+    logp0, grad0 = lg(theta0)
+    z0 = _Z(theta0, p0, logp0, grad0)
+    H0 = z0.energy(inv_mass)
+
+    def logr_at(eps):
+        z = _leapfrog(lg, z0, eps, inv_mass)
+        logr = z.energy(inv_mass) - H0
+        return jnp.where(jnp.isfinite(logr), logr, -jnp.inf)
+
+    eps0 = jnp.asarray(eps0, theta0.dtype)
+    logr0 = logr_at(eps0)
+    a = jnp.where(logr0 > jnp.log(0.5), 1.0, -1.0).astype(theta0.dtype)
+
+    def cond(c):
+        eps, logr, it = c
+        return (a * logr > -a * jnp.log(2.0)) & (it < max_doublings)
+
+    def body(c):
+        eps, logr, it = c
+        eps = eps * jnp.exp2(a)
+        return eps, logr_at(eps), it + 1
+
+    eps, _, _ = lax.while_loop(cond, body,
+                               (eps0, logr0, jnp.asarray(0, jnp.int32)))
+    return eps
+
+
 def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
                            key: jax.Array, cfg: HMCConfig):
     """Dual-averaging warmup then sampling, single chain.
     Returns (samples [num_samples, dim], mean accept-stat, step size)."""
     dim = theta0.shape[0]
     inv_mass = jnp.ones(dim)
-    eps0 = jnp.asarray(cfg.init_step_size)
+    key, kf = jax.random.split(key)
+    eps0 = find_reasonable_step_size(logpost, theta0, kf, inv_mass,
+                                     cfg.init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
     mu = jnp.log(10.0 * eps0)
 

@@ -387,9 +387,11 @@ def map_insert(state: MapState, points, colors, valid,
     pend_count = jnp.minimum(pend_count + added, Pp)
 
     # ---- 8. free-space carving ------------------------------------------
+    key_by_gid = jnp.full((B + 1,), fill, jnp.int32).at[slot_tgt].set(
+        leaf_keys, mode='drop')[:B]
     free = _carve_free_space(state, key_to_leaf, created, rotations, means,
                              state.free, points, valid & claimed, claim,
-                             cfg, mcfg)
+                             cfg, mcfg, key_by_gid=key_by_gid)
 
     return state._replace(
         key_to_leaf=key_to_leaf, leaf_keys=leaf_keys, leaf_ids=leaf_ids,
@@ -424,23 +426,35 @@ def required_ray_steps(world_min, world_max, res) -> int:
 
 def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
                       means, free, points, hit_valid, hit_claim,
-                      cfg: CompressorConfig, mcfg: MappingConfig):
+                      cfg: CompressorConfig, mcfg: MappingConfig,
+                      key_by_gid=None):
     """Exact batched ray->voxel traversal (Amanatides-Woo DDA,
     geometry.voxel.ray_walk_*) replacing gp_octree::get_intersected_gps
     (src/gp_octree.cpp:66-206) + the marking logic of train_classification
     (src/gp_mapping.cpp:154-211).
 
-    Reference semantics reproduced: walk each camera ray through EVERY
-    intersected voxel of the grid (the reference traversal continues past
-    the measured point — the claimed/hit patch's voxel can sit slightly
-    beyond it when a neighbour leaf claimed the point); latch the step at
-    which the ray passes the hit patch's voxel; if it never does, mark
-    nothing for that ray (the reference's reached_gp latch,
-    src/gp_mapping.cpp:175-190). Every created patch whose voxel is
-    crossed strictly before the hit gets its plane-crossing cell marked
-    free=True; the hit patch's cell is marked free=False. Within one
-    insertion a hit (False) wins over a crossing (True) — documented
-    divergence from the reference's serial last-ray-wins.
+    Reference semantics reproduced: the step at which each ray passes its
+    hit patch's voxel gates the marks; if it never does, the ray marks
+    nothing (the reference's reached_gp latch, src/gp_mapping.cpp:175-190).
+    Every created patch whose voxel is crossed strictly before the hit gets
+    its plane-crossing cell marked free=True; the hit patch's cell is
+    marked free=False. Within one insertion a hit (False) wins over a
+    crossing (True) — documented divergence from the reference's serial
+    last-ray-wins.
+
+    The hit patch's voxel is KNOWN in advance (it is that leaf's key), so
+    s_hit needs no discovery pass: for an Amanatides-Woo walk the step
+    index entering voxel v equals the L1 distance in voxel coordinates
+    from the entry voxel, and whether the ray passes v at all is a slab
+    test of v's box against the ray — one closed-form vector computation
+    replaces the whole first traversal. The single marking walk then runs
+    under a while_loop that exits once every ray has passed its hit (rays
+    with no reachable hit start inactive), so the wall cost is the longest
+    camera->hit walk, not the grid diagonal.
+
+    key_by_gid: optional [B] linear voxel key per gp_index (map_insert has
+    it precomputed); derived from key_to_leaf by an O(n_cells) scatter
+    when absent.
 
     mcfg.max_ray_steps is the static per-ray voxel bound; set it to
     required_ray_steps(...) for exactness on rays up to the world diagonal
@@ -460,41 +474,62 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
     ncells = key_to_leaf.shape[0]
     steps = mcfg.max_ray_steps
     bigstep = jnp.iinfo(jnp.int32).max
+    fillk = jnp.iinfo(jnp.int32).max
+
+    if key_by_gid is None:
+        tgt = jnp.where(key_to_leaf >= 0, key_to_leaf, B)
+        key_by_gid = jnp.full((B + 1,), fillk, jnp.int32).at[tgt].set(
+            jnp.arange(ncells, dtype=jnp.int32), mode='drop')[:B]
+
+    st0 = voxel.ray_walk_init(state.origin, dims, res, cam, delta)
+
+    # ---- closed-form s_hit: slab-test the hit voxel's box, L1 step index
+    hk = key_by_gid[jnp.clip(hit_claim, 0, B - 1)]                 # [N]
+    hk3 = voxel.delinearize(jnp.minimum(hk, fillk - 1), dims)      # [N, 3]
+    vlo = state.origin + hk3.astype(dt) * res
+    vhi = vlo + res
+    big = jnp.asarray(3.4e38, dt)
+    nz = delta != 0
+    dsafe = jnp.where(nz, delta, 1.0)
+    c = cam[None, :]
+    t1 = jnp.where(nz, (vlo - c) / dsafe, jnp.where(c >= vlo, -big, big))
+    t2 = jnp.where(nz, (vhi - c) / dsafe, jnp.where(c <= vhi, big, -big))
+    tvlo = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tvhi = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    reaches = st0.active & hit_valid & (hk != fillk) & \
+        created[jnp.clip(hit_claim, 0, B - 1)] & \
+        (tvlo < tvhi) & (tvhi > st0.t) & (tvlo < st0.t_end)
+    s_hit = jnp.where(reaches, jnp.sum(jnp.abs(hk3 - st0.X), axis=-1),
+                      bigstep).astype(jnp.int32)
+
+    # ---- single marking walk. One max-combined int mark array
+    # (1 = crossed/free, 2 = hit) halves the per-step scatter count; max
+    # gives hit-beats-free within the insertion, exactly the
+    # (free | fm) & ~hm combination it replaces.
+    marks = jnp.zeros((B * G + 1,), jnp.int32)
+    # one fused [B+1, 12] gather per step (R row-major + mean) instead of
+    # separate [B,3,3] and [B,3] gathers
+    plane = jnp.concatenate([rotations.reshape(B, 9), means], axis=1)
+    plane = jnp.concatenate([plane, jnp.zeros((1, 12), dt)], axis=0)
 
     def gid_of(st):
         lin = voxel.linearize(st.X, dims)
-        act = st.active & hit_valid & (lin != voxel._FILL)
+        act = st.active & (lin != voxel._FILL)
         return jnp.where(act, key_to_leaf[jnp.clip(lin, 0, ncells - 1)], -1)
 
-    # ---- pass 1: step index of each ray's hit-patch voxel ---------------
-    def p1_body(s, carry):
-        st, s_hit = carry
-        g = gid_of(st)
-        is_hit = (g >= 0) & (g == hit_claim) & created[jnp.maximum(g, 0)]
-        s_hit = jnp.where(is_hit & (s_hit == bigstep), s, s_hit)
-        st = voxel.ray_walk_step(st, dims)
-        # a latched ray is done; the rest walk to grid exit like the
-        # reference traversal
-        return st._replace(active=st.active & (s_hit == bigstep)), s_hit
+    def cond(carry):
+        s, st, _ = carry
+        return (s < steps) & jnp.any(st.active)
 
-    st0 = voxel.ray_walk_init(state.origin, dims, res, cam, delta)
-    _, s_hit = jax.lax.fori_loop(
-        0, steps, p1_body, (st0, jnp.full((N,), bigstep, jnp.int32)))
-
-    # ---- pass 2: plane-crossing marks up to (and at) the hit. One
-    # max-combined int mark array (1 = crossed/free, 2 = hit) halves the
-    # per-step scatter count; max gives hit-beats-free within the
-    # insertion, exactly the (free | fm) & ~hm combination it replaces.
-    marks = jnp.zeros((B * G + 1,), jnp.int32)
-
-    def p2_body(s, carry):
-        st, marks = carry
-        gid = gid_of(st)
+    def body(carry):
+        s, st, marks = carry
+        gid = gid_of(st)                 # active implies s <= s_hit
         ok = (gid >= 0) & created[jnp.maximum(gid, 0)]
         g = jnp.maximum(gid, 0)
-        R = rotations[g]                                  # one row gather
+        pl = plane[jnp.where(ok, g, B)]
+        R = pl[:, :9].reshape(N, 3, 3)
         n = R[:, :, 0]                                    # patch normals
-        mid = means[g]
+        mid = pl[:, 9:]
         denom = jnp.sum(n * delta, axis=-1)
         dplane = jnp.sum(n * (mid - cam[None, :]), axis=-1) / \
             jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
@@ -505,16 +540,19 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
                         0, sz - 1) * sz + \
             jnp.clip((sz * (loc[:, 2] / res + 0.5)).astype(jnp.int32),
                      0, sz - 1)
-        # rays that never pass their hit patch's voxel mark nothing (the
-        # reference's reached_gp latch never fires for them)
-        okm = ok & clip_ok & (s_hit != bigstep) & (s <= s_hit)
+        okm = ok & clip_ok
         idx = jnp.where(okm, g * G + cell, B * G)
-        val = jnp.where(s == s_hit, 2, 1)
+        # the 2-mark lands only when the walk is genuinely AT the hit voxel
+        # (guards the measure-zero corner where float tie-breaking makes
+        # the DDA visit set differ from the slab test)
+        val = jnp.where((s == s_hit) & (gid == hit_claim), 2, 1)
         marks = marks.at[idx].max(val)
         st = voxel.ray_walk_step(st, dims)
-        return (st._replace(active=st.active & (s < s_hit)), marks)
+        return (s + 1, st._replace(active=st.active & (s < s_hit)), marks)
 
-    _, marks = jax.lax.fori_loop(0, steps, p2_body, (st0, marks))
+    st0 = st0._replace(active=reaches)
+    _, _, marks = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
+                                                  st0, marks))
     m = marks[:B * G].reshape(B, G)
     return (free | (m == 1)) & ~(m == 2)
 
