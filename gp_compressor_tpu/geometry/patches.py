@@ -77,7 +77,7 @@ def _sym10_to_44(m10: jnp.ndarray) -> jnp.ndarray:
 
 
 def sort_by_claim(claim: jnp.ndarray, claimed: jnp.ndarray, cols: tuple,
-                  n_segments: int):
+                  n_segments: int, rank: jnp.ndarray = None):
     """Sort per-point payload columns by claim id (unclaimed last).
 
     The banking fast path: banking by per-slot gather (src[b, p] into the
@@ -87,26 +87,48 @@ def sort_by_claim(claim: jnp.ndarray, claimed: jnp.ndarray, cols: tuple,
     contiguous window of the sorted arrays, so banks fill with windowed
     (near-sequential) gathers — the whole block drops to ~5 ms.
 
-    cols: tuple of [N] arrays (any dtypes). Returns (sorted cols tuple,
-    starts [B+1] int32 window offsets: patch b owns rows
-    starts[b]:starts[b+1]).
+    cols: tuple of [N] arrays (any dtypes). rank: optional [N] secondary
+    sort key — within each claim segment rows come out rank-ascending,
+    which (since the bank window reads sorted rows in order) sets the
+    online INSERTION order deterministically (PatchConfig.bank_order).
+    Returns (sorted cols tuple, starts [B+1] int32 window offsets: patch b
+    owns rows starts[b]:starts[b+1]).
     """
     B = n_segments
     N = claim.shape[0]
-    id_bits = max(N - 1, 1).bit_length()
     seg_u = jnp.where(claimed, claim, B)
-    if (B + 1) << id_bits <= (1 << 32):
-        packed = (seg_u.astype(jnp.uint32) << id_bits) \
-            | jnp.arange(N, dtype=jnp.uint32)
-        out = jax.lax.sort((packed,) + tuple(cols), num_keys=1)
-        segs = (out[0] >> id_bits).astype(jnp.int32)
-        sorted_cols = out[1:]
-    else:                                   # fallback: plain stable argsort
-        order = jnp.argsort(seg_u, stable=True)
-        segs = seg_u[order].astype(jnp.int32)
-        sorted_cols = tuple(c[order] for c in cols)
+    if rank is not None:
+        out = jax.lax.sort((seg_u.astype(jnp.uint32), rank) + tuple(cols),
+                           num_keys=2)
+        segs = out[0].astype(jnp.int32)
+        sorted_cols = out[2:]
+    else:
+        id_bits = max(N - 1, 1).bit_length()
+        if (B + 1) << id_bits <= (1 << 32):
+            packed = (seg_u.astype(jnp.uint32) << id_bits) \
+                | jnp.arange(N, dtype=jnp.uint32)
+            out = jax.lax.sort((packed,) + tuple(cols), num_keys=1)
+            segs = (out[0] >> id_bits).astype(jnp.int32)
+            sorted_cols = out[1:]
+        else:                               # fallback: plain stable argsort
+            order = jnp.argsort(seg_u, stable=True)
+            segs = seg_u[order].astype(jnp.int32)
+            sorted_cols = tuple(c[order] for c in cols)
     starts = jnp.searchsorted(segs, jnp.arange(B + 1, dtype=jnp.int32))
     return sorted_cols, starts.astype(jnp.int32)
+
+
+def bank_rank(loc_claim: jnp.ndarray, order: str):
+    """Secondary sort key implementing PatchConfig.bank_order (None for
+    'shuffle'/'native' — those need no rank key)."""
+    if order in ("shuffle", "native"):
+        return None
+    d2 = loc_claim[:, 1] ** 2 + loc_claim[:, 2] ** 2
+    if order == "center_out":
+        return d2
+    if order == "edge_in":
+        return -d2
+    raise ValueError(f"unknown bank_order {order!r}")
 
 
 def bank_windows(starts: jnp.ndarray, B: int, P: int, shuffle_key=None):
@@ -339,11 +361,13 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
                   shuffle_key=None) -> PatchBatch:
     """points: [N, 3], colors: [N, 3] (0..255 floats), valid: [N] bool.
 
-    shuffle_key: optional PRNG key — when given, each patch's points land
-    in its bank in a uniformly random order (per-patch Fisher–Yates via
-    random-bits argsort), implementing the reference's shuffle-before-
-    insert (src/sparse_gp.hpp:43-56) at scatter time for free instead of
-    as a separate [B, P] take_along_axis pass before training."""
+    shuffle_key: optional PRNG key — when given (and cfg.bank_order ==
+    "shuffle"), each patch's points land in its bank in a uniformly random
+    order (per-patch Fisher–Yates via random-bits argsort), implementing
+    the reference's shuffle-before-insert (src/sparse_gp.hpp:43-56) at
+    scatter time for free instead of as a separate [B, P] take_along_axis
+    pass before training. Deterministic cfg.bank_order values instead sort
+    each patch window by a geometric rank key (see bank_rank)."""
     B, P, sz = cfg.max_patches, cfg.max_points_per_patch, cfg.sz
     dt = points.dtype
     N = points.shape[0]
@@ -356,9 +380,13 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     # over the sorted order and fill the [B, P] training banks with
     # windowed gathers (see sort_by_claim) — one value sort replaces both
     # the per-leaf segment-sum scatters and the per-slot random gathers.
+    rank = bank_rank(loc_claim, cfg.bank_order)
+    if cfg.bank_order != "shuffle":
+        shuffle_key = None
     (u_s, v_s, d_s, r_s, g_s, b_s), starts = sort_by_claim(
         claim, claimed, (loc_claim[:, 1], loc_claim[:, 2], loc_claim[:, 0],
-                         colors[:, 0], colors[:, 1], colors[:, 2]), B)
+                         colors[:, 0], colors[:, 1], colors[:, 2]), B,
+        rank=rank)
     pos, mb, counts_i = bank_windows(starts, B, P, shuffle_key=shuffle_key)
     counts = counts_i.astype(dt)
     safe = jnp.maximum(counts, 1.0)

@@ -137,6 +137,56 @@ def map_estimate(logpost: Callable, theta0: jnp.ndarray, steps: int = 200,
     return run(theta0, steps)
 
 
+# log-space start offsets for the multi-start ascent, spanning the scale
+# regimes the patch-bank posterior actually has modes in (reference-scale,
+# cm-scale, mm-scale, amplified) — measured: the plain start needs ~4x the
+# steps of the best offset and still lands in a worse basin
+MAP_START_OFFSETS = ((0.0, 0.0, 0.0), (-3.0, -3.0, -2.0),
+                     (-6.0, -5.0, -4.0), (2.0, 1.0, 1.0))
+
+
+def map_estimate_multi(logpost: Callable, theta0: jnp.ndarray,
+                       steps: int = 150, lr: float = 0.1,
+                       n_starts: int = 4, theta_init=None):
+    """Multi-start MAP: vmap the Adam ascent over `n_starts` log-space
+    offsets of theta0 and keep the best final log posterior.
+
+    Rationale (measured on the bench posterior): from the reference
+    constants the single ascent rides a slow ridge — 400 steps at lr 0.1
+    are still in transit (logpost 4840) while a cm-scale start converges
+    within 100 steps to a better mode (5017). The starts share one
+    `lax.scan` (vmapped), so wall cost is ~one ascent of `steps` steps —
+    sequential-step latency, not FLOPs, dominates at these sizes.
+
+    theta_init: optional traced warm start (e.g. the previous cloud's
+    calibration) replacing the first offset — the production steady state
+    needs far fewer steps (see compress_decompress_calibrated).
+    Returns (best theta, final logposts [n_starts])."""
+    offs = jnp.asarray(MAP_START_OFFSETS, theta0.dtype)[:n_starts]
+    starts = theta0[None, :] + offs
+    if theta_init is not None:
+        starts = starts.at[0].set(jnp.asarray(theta_init, theta0.dtype))
+
+    import optax
+    opt = optax.adam(lr)
+
+    def one(theta0):
+        def body(carry, _):
+            theta, state = carry
+            lp, g = jax.value_and_grad(logpost)(theta)
+            updates, state = opt.update(jax.tree.map(lambda x: -x, g), state)
+            theta = jax.tree.map(lambda a, b: a + b, theta, updates)
+            return (theta, state), lp
+
+        (theta, _), _ = lax.scan(body, (theta0, opt.init(theta0)),
+                                 None, length=steps)
+        return theta, logpost(theta)
+
+    thetas, lps = jax.vmap(one)(starts)
+    best = jnp.argmax(jnp.where(jnp.isfinite(lps), lps, -jnp.inf))
+    return thetas[best], lps
+
+
 # ---------------------------------------------------------------------------
 # HMC with dual-averaging warmup
 # ---------------------------------------------------------------------------

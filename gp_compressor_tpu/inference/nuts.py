@@ -207,7 +207,11 @@ def find_reasonable_step_size(logpost: Callable, theta0, key, inv_mass,
 
     eps, _, _ = lax.while_loop(cond, body,
                                (eps0, logr0, jnp.asarray(0, jnp.int32)))
-    return eps
+    # non-finite logpost(theta0) makes logr -inf for EVERY eps: the search
+    # would burn all halvings and return eps0 * 2^-30, seeding dual
+    # averaging with mu = log(10 eps) absurdly small (ADVICE r2). Keep the
+    # caller's eps0 unchanged in that regime — warmup adapts from there.
+    return jnp.where(jnp.isfinite(logp0), eps, eps0)
 
 
 def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,

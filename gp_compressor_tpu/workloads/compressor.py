@@ -117,12 +117,16 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
         cstates = sogp_train.add_points_batch_pallas(
             rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms)
     else:
+        # banks already carry the intended insertion order (scatter-time
+        # shuffle or a deterministic bank_order): no in-path shuffle
+        dkeys = None if banks_shuffled else jax.random.split(kd, B)
+        ckeys = None if banks_shuffled else jax.random.split(kc, B)
         dstates = sparse_gp.add_points_batch(
             depth_kp, dnoise, cfg.depth_gp, dstates, batch.X, batch.y,
-            batch.mask, jax.random.split(kd, B), eps_tol=depth_eps)
+            batch.mask, dkeys, eps_tol=depth_eps)
         cstates = sparse_gp.add_points_batch(
             rgb_kp, cnoise, cfg.rgb_gp, cstates, batch.X, batch.rgb,
-            batch.mask, jax.random.split(kc, B))
+            batch.mask, ckeys)
     # a 1/5 subsample of the prediction grid suffices as health probes
     # when the length-scale covers the patch footprint (a diverged patch
     # then blows up everywhere, not at isolated cells); with a short
@@ -252,23 +256,32 @@ def calib_subsample(batch: patches_mod.PatchBatch, n_patches: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "use_pallas", "calib_patches", "calib_points", "calib_steps"))
+    "cfg", "use_pallas", "calib_patches", "calib_points", "calib_steps",
+    "calib_starts"))
 def compress_decompress_calibrated(points, colors, valid,
                                    cfg: CompressorConfig, key,
                                    use_pallas: bool = False,
                                    calib_patches: int = 32,
                                    calib_points: int = 64,
-                                   calib_steps: int = 400,
-                                   calib_lr: float = 0.1):
+                                   calib_steps: int = 150,
+                                   calib_lr: float = 0.1,
+                                   calib_starts: int = 4,
+                                   theta_init=None):
     """The north-star round trip (BASELINE.json: compress+decompress with
     Bayesian-calibrated hyperparameters) in ONE device dispatch.
 
-    project -> MAP ascent of the exact-GP marginal posterior over
-    (sigma_f^2, l^2, s20) on a patch-bank subsample -> sparse-GP training
-    with the TRACED calibrated values (they ride the Pallas kernel's SMEM
-    param row / the scan's carried scalars) -> grid decompression. Unlike
-    the staged compress_calibrated, nothing is fetched to host between
-    stages and a new calibration never retraces the train program.
+    project -> multi-start MAP ascent of the exact-GP marginal posterior
+    over (sigma_f^2, l^2, s20) on a patch-bank subsample
+    (hmc.map_estimate_multi: 4 vmapped starts reach a better mode in 150
+    steps than a single 400-step ascent) -> sparse-GP training with the
+    TRACED calibrated values (they ride the Pallas kernel's SMEM param row
+    / the scan's carried scalars) -> grid decompression. Unlike the staged
+    compress_calibrated, nothing is fetched to host between stages and a
+    new calibration never retraces the train program.
+
+    theta_init: optional traced warm start (previous cloud's calibration,
+    the production steady state) — pair with calib_steps ~40 and
+    calib_starts=1 for a warm refresh at a fraction of the cold cost.
 
     Returns (CompressedCloud, depth RBFParams, s20 [traced scalar],
     decompress outputs)."""
@@ -287,8 +300,9 @@ def compress_decompress_calibrated(points, colors, valid,
     theta0 = jnp.asarray([np.log(cfg.depth_gp.sigmaf_sq),
                           np.log(cfg.depth_gp.l_sq),
                           np.log(cfg.depth_gp.s20)], calib_dt)
-    theta, _ = hmc.map_estimate(logpost, theta0, steps=calib_steps,
-                                lr=calib_lr)
+    theta, _ = hmc.map_estimate_multi(logpost, theta0, steps=calib_steps,
+                                      lr=calib_lr, n_starts=calib_starts,
+                                      theta_init=theta_init)
     dt = batch.X.dtype
     sf, l2, s20 = [jnp.asarray(v, dt) for v in jnp.exp(theta)]
     depth_kp = RBFParams(sigmaf_sq=sf, l_sq=l2)

@@ -153,6 +153,12 @@ def map_insert(state: MapState, points, colors, valid,
     it is a traced scalar so the first-scan switch costs no retrace.
     use_pallas routes the incremental GP training through the fused
     VMEM-resident kernel (TPU only).
+
+    Returns (MapState, info) where info carries the silent-truncation
+    counters (SURVEY §5 observability; VERDICT r2 weak #8):
+      bank_dropped  — claimed points lost to the max_points_per_patch bound
+      pend_dropped  — unclaimed points lost to full pending buffers
+      patch_overflow — new leaves lost to the max_patches bound
     """
     B = cfg.patch.max_patches
     G = cfg.patch.sz ** 2
@@ -386,19 +392,32 @@ def map_insert(state: MapState, points, colors, valid,
                                 num_segments=B + 1)[:B]
     pend_count = jnp.minimum(pend_count + added, Pp)
 
-    # ---- 8. free-space carving ------------------------------------------
+    # ---- truncation counters (SURVEY §5 observability) -------------------
+    # claimed points beyond the [B, Pmax] bank bound never reach training
+    bank_dropped = jnp.sum(jnp.maximum(
+        cur_cnt.astype(jnp.int32) - Pmax, 0)).astype(jnp.int32)
+    # points that wanted a pending slot but the buffer was full
+    pend_dropped = jnp.sum(store & ~okp).astype(jnp.int32)
+    # new leaves that fell off the static max_patches budget
+    patch_overflow = jnp.sum(is_new & overflow).astype(jnp.int32)
+
+    # ---- 8. free-space carving (every carve_stride-th ray) ---------------
     key_by_gid = jnp.full((B + 1,), fill, jnp.int32).at[slot_tgt].set(
         leaf_keys, mode='drop')[:B]
+    cs = mcfg.carve_stride
     free = _carve_free_space(state, key_to_leaf, created, rotations, means,
-                             state.free, points, valid & claimed, claim,
+                             state.free, points[::cs],
+                             (valid & claimed)[::cs], claim[::cs],
                              cfg, mcfg, key_by_gid=key_by_gid)
 
+    info = {"bank_dropped": bank_dropped, "pend_dropped": pend_dropped,
+            "patch_overflow": patch_overflow}
     return state._replace(
         key_to_leaf=key_to_leaf, leaf_keys=leaf_keys, leaf_ids=leaf_ids,
         n_patches=n_patches, rotations=rotations, means=means,
         rgb_means=rgb_means, W=W, free=free, created=created,
         depth_gp=depth_gp, rgb_gp=rgb_gp, pend_pts=pend_pts,
-        pend_cols=pend_cols, pend_count=pend_count)
+        pend_cols=pend_cols, pend_count=pend_count), info
 
 
 def _bank_training_points(claim, claimed, uv, depth, cols, B, P):
@@ -626,13 +645,16 @@ def add_cloud_fused(state: MapState, points, colors, valid,
         reg_steps = rstate.step_nbr
 
     min_nbr = jnp.where(state.n_patches == 0, 1, mcfg.min_points_new_patch)
-    state = jax.lax.cond(
+    zero_info = {"bank_dropped": jnp.asarray(0, jnp.int32),
+                 "pend_dropped": jnp.asarray(0, jnp.int32),
+                 "patch_overflow": jnp.asarray(0, jnp.int32)}
+    state, info = jax.lax.cond(
         diverged,
-        lambda _: state,                       # drop scan (:22-27)
+        lambda _: (state, zero_info),          # drop scan (:22-27)
         lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
                              min_nbr, use_pallas=use_pallas),
         None)
-    return state, diverged, reg_steps
+    return state, diverged, reg_steps, info
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "rcfg",
@@ -652,19 +674,21 @@ def add_clouds(state: MapState, points, colors, valid,
     src/test_gp_mapping_no_vis.cpp:34-69).
 
     points/colors: [S, N, 3]; valid: [S, N]. Returns
-    (state, diverged [S], reg_steps [S]).
+    (state, diverged [S], reg_steps [S], info dict of per-scan [S]
+    truncation counters — see map_insert).
     """
 
     def body(st, xs):
         p, c, v, k = xs
-        st, dvg, steps = add_cloud_fused(st, p, c, v, cfg, mcfg, k,
-                                         rcfg=rcfg, use_pallas=use_pallas)
-        return st, (dvg, steps)
+        st, dvg, steps, info = add_cloud_fused(st, p, c, v, cfg, mcfg, k,
+                                               rcfg=rcfg,
+                                               use_pallas=use_pallas)
+        return st, (dvg, steps, info)
 
     keys = jax.random.split(key, points.shape[0])
-    state, (diverged, reg_steps) = jax.lax.scan(
+    state, (diverged, reg_steps, info) = jax.lax.scan(
         body, state, (points, colors, valid, keys))
-    return state, diverged, reg_steps
+    return state, diverged, reg_steps, info
 
 
 def add_cloud(state: MapState, points, colors, valid, cfg: CompressorConfig,
@@ -674,10 +698,11 @@ def add_cloud(state: MapState, points, colors, valid, cfg: CompressorConfig,
               use_pallas: bool = False) -> Tuple[MapState, dict]:
     """Host-facing wrapper over add_cloud_fused: one device dispatch per
     scan plus a single scalar fetch for the info dict."""
-    state, diverged, reg_steps = add_cloud_fused(
+    state, diverged, reg_steps, counters = add_cloud_fused(
         state, points, colors, valid, cfg, mcfg, key, rcfg=rcfg,
         register_scan=register_scan, use_pallas=use_pallas)
     info = {"diverged": bool(diverged), "reg_steps": int(reg_steps)}
+    info.update({k: int(v) for k, v in counters.items()})
     if not info["diverged"]:
         info["n_patches"] = int(state.n_patches)
     return state, info

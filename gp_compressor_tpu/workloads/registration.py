@@ -501,12 +501,20 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
         Cb = jnp.where(Mb[..., None], Cb - batch.rgb_means[:, None, :], 0.0)
         return Wb, Cb, Mb
 
+    # convergence threshold, optionally paired to the step size (config.py:
+    # RegistrationConfig.grad_tol_step_ref) — the scaled form reproduces
+    # the reference's registration_done at its step=0.1/tol=0.1 pairing
+    if rcfg.grad_tol_step_ref is not None:
+        tol = rcfg.grad_tol * rcfg.step / rcfg.grad_tol_step_ref
+    else:
+        tol = rcfg.grad_tol
+
     def cond(carry):
         st = carry[0]
         done = (st.step_nbr > rcfg.min_steps) & (
             (st.step_nbr >= rcfg.max_steps)
-            | ((jnp.linalg.norm(st.delta[:3]) < rcfg.grad_tol)
-               & (jnp.linalg.norm(st.delta[3:]) < rcfg.grad_tol)))
+            | ((jnp.linalg.norm(st.delta[:3]) < tol)
+               & (jnp.linalg.norm(st.delta[3:]) < tol)))
         return ~done
 
     def body(carry):
