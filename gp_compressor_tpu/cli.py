@@ -223,13 +223,34 @@ def cmd_gp_accuracy(args):
         jnp.ones(len(scan), bool), cfg, rcfg)
     err0 = np.linalg.norm(scan - pts_np[half:], axis=1).mean()
     err1 = np.linalg.norm(np.asarray(aligned) - pts_np[half:], axis=1).mean()
-    print(json.dumps({
+    out = {
         "steps": int(state.step_nbr),
         "initial_mean_err_m": round(float(err0), 5),
         "final_mean_err_m": round(float(err1), 5),
         "mean_likelihood": round(float(state.mean_likelihood), 4),
         "wall_s": round(time.time() - t0, 2),
-    }))
+    }
+    if args.baseline == "icp":
+        # independent comparator (the reference's NDT role,
+        # ndt/test_ndt_accuracy.cpp:91-188): point-to-plane ICP on the
+        # same pair with the same error metric
+        from gp_compressor_tpu.geometry import transforms
+        from gp_compressor_tpu.workloads import icp
+
+        t0 = time.time()
+        res = icp.icp_register(comp, jnp.asarray(scan),
+                               jnp.ones(len(scan), bool), cfg)
+        icp_aligned = np.asarray(transforms.apply(jnp.asarray(scan),
+                                                  res.R, res.t))
+        ierr = np.linalg.norm(icp_aligned - pts_np[half:], axis=1).mean()
+        out["icp"] = {
+            "iters": int(res.iters),
+            "final_mean_err_m": round(float(ierr), 5),
+            "rms_plane_residual_m": round(float(res.rms_residual), 5),
+            "n_matched": int(res.n_matched),
+            "wall_s": round(time.time() - t0, 2),
+        }
+    print(json.dumps(out))
 
 
 def cmd_calibrate(args):
@@ -392,6 +413,9 @@ def main(argv=None):
                     "groundtruth.txt); default: synthetic ground truth")
     sp.add_argument("--frame-stride", type=int, default=5,
                     help="pair stride (src/test_gp_accuracy.cpp:110)")
+    sp.add_argument("--baseline", choices=["none", "icp"], default="none",
+                    help="also run an independent comparator on the same "
+                         "pair (the reference's NDT role)")
     sp.add_argument("--n-pairs", type=int, default=1)
     sp.set_defaults(fn=cmd_gp_accuracy)
 

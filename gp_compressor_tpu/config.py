@@ -150,6 +150,15 @@ class MappingConfig:
     # hundreds of times — so stride 4-8 keeps the free mask statistically
     # identical while cutting the carve's device time by the same factor.
     # 1 reproduces the reference exactly (used by the parity tests).
+    drop_on_reg_cap: bool = True
+    # The reference drops a scan whose registration hits the step cap
+    # (src/gp_mapping.cpp:22-27) — sensible at its 300-step budget, where
+    # a cap hit IS pathological. When mapping runs registration with a
+    # small per-scan step BUDGET (e.g. max_steps=12 to polish an already
+    # tracked stream), a cap hit is routine, and dropping would silently
+    # discard most scans (measured: 3 of 4 bench scans dropped, map
+    # chamfer RMSE 0.157 m). False = always insert; registration caps act
+    # as a compute budget, not a divergence test.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,19 +58,27 @@ def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
     n = X.shape[0]
     m2 = mask[:, None] * mask[None, :]
     K = kernels.gram(kp, X, X) * m2 + jnp.diag(jnp.where(mask > 0, s20, 1.0))
-    # double-where safe Cholesky: when a sampler proposal wanders to a
-    # numerically singular (sigmaf, l) the factorization goes NaN — and a
-    # plain `where(bad, -inf, ll)` still back-propagates NaN through the
-    # DEAD branch (0 * NaN in the cholesky vjp). Refactor a safe primal so
-    # both value AND gradient are clean; the -inf value rejects the move.
-    L_try = jnp.linalg.cholesky(K)
-    bad = ~jnp.all(jnp.isfinite(L_try))
-    K_safe = jnp.where(bad, jnp.eye(n, dtype=K.dtype), K)
-    L = jnp.linalg.cholesky(K_safe)
-    ym = y * mask
-    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
-    quad = ym @ alpha
+    # The blocked TPU Cholesky/solve run their INTERNAL matmuls at the
+    # default precision — bf16 passes whose ~0.4% relative error swamps
+    # the s20 diagonal of the near-rank-1 Gram at reference-constant
+    # proposals (sigmaf^2=100, l=1 m on a 0.15 m patch: K ~ 100*J +
+    # 0.11*I). Measured: NUTS on the TPU ran at accept=NaN / R-hat 28
+    # while the same chains on CPU mixed at 0.92/1.08. Force f32 passes.
+    with jax.default_matmul_precision("highest"):
+        # double-where safe Cholesky: when a sampler proposal wanders to a
+        # numerically singular (sigmaf, l) the factorization goes NaN —
+        # and a plain `where(bad, -inf, ll)` still back-propagates NaN
+        # through the DEAD branch (0 * NaN in the cholesky vjp). Refactor
+        # a safe primal so both value AND gradient are clean; the -inf
+        # value rejects the move.
+        L_try = jnp.linalg.cholesky(K)
+        bad = ~jnp.all(jnp.isfinite(L_try))
+        K_safe = jnp.where(bad, jnp.eye(n, dtype=K.dtype), K)
+        L = jnp.linalg.cholesky(K_safe)
+        ym = y * mask
+        alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+        quad = ym @ alpha
     neff = jnp.sum(mask)
     ll = -0.5 * (quad + logdet + neff * jnp.log(2.0 * jnp.pi))
     return jnp.where(bad, jnp.asarray(-jnp.inf, ll.dtype), ll)

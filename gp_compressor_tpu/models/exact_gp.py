@@ -45,9 +45,13 @@ def fit(params: RBFParams, s20, X: jnp.ndarray, y: jnp.ndarray,
     # decouple masked-out rows with a unit diagonal; real rows get + s20
     diag = jnp.where(mask > 0, s20, 1.0)
     K = K + jnp.diag(diag)
-    L = jnp.linalg.cholesky(K)
-    ym = y * mask[:, None]
-    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+    # f32 internal passes: the TPU blocked Cholesky/solve otherwise run
+    # their matmuls in bf16, whose error swamps the s20 diagonal of the
+    # near-rank-1 Gram at reference constants (see hmc.gp_marginal_loglik)
+    with jax.default_matmul_precision("highest"):
+        L = jnp.linalg.cholesky(K)
+        ym = y * mask[:, None]
+        alpha = jax.scipy.linalg.cho_solve((L, True), ym)
     return ExactGPState(X=X, mask=mask, chol=L, alpha=alpha)
 
 
@@ -62,7 +66,9 @@ def predict(params: RBFParams, state: ExactGPState,
     Ks = kernels.gram(params, state.X, Xstar) * state.mask[:, None]   # [n, m]
     mean = jnp.einsum('nm,nd->md', Ks, state.alpha,
                       precision=jax.lax.Precision.HIGHEST)
-    v = jax.scipy.linalg.solve_triangular(state.chol, Ks, lower=True)  # [n, m]
+    with jax.default_matmul_precision("highest"):
+        v = jax.scipy.linalg.solve_triangular(state.chol, Ks,
+                                              lower=True)              # [n, m]
     var = kernels.kdiag(params, Xstar) - jnp.sum(v * v, axis=0)
     return mean, var
 

@@ -66,6 +66,15 @@ def _kernel(cfg: GPConfig, n_points: int,
     eps_tol = prm_ref[0, 3]
     kstar = sigmaf_sq
     iota = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    f32 = jnp.float32
+
+    # C/Q may be STORED in a lower precision (bf16 state experiment,
+    # SURVEY §7 watch-list (c)); all arithmetic stays float32
+    def _ld(ref):
+        return ref[:].astype(f32)
+
+    def _st(ref, val):
+        ref[:] = val.astype(ref.dtype)
 
     def delete_inplace(loc, do):
         """Conditional per-lane BV removal, mutating the state refs.
@@ -80,8 +89,8 @@ def _kernel(cfg: GPConfig, n_points: int,
             ohd = (iota == loc[None, :]).astype(jnp.float32) * do[None, :]
             # ohd is zero on lanes that do not delete -> all deltas vanish
             alpha = al_o[:]
-            C = C_o[:]
-            Q = Q_o[:]
+            C = _ld(C_o)
+            Q = _ld(Q_o)
             astar = jnp.sum(alpha * ohd[:, None, :], axis=0)     # [D, L]
             Ccol = jnp.sum(C * ohd[None, :, :], axis=1)          # [S, L]
             Qcol = jnp.sum(Q * ohd[None, :, :], axis=1)
@@ -99,11 +108,11 @@ def _kernel(cfg: GPConfig, n_points: int,
             al_o[:] = (alpha - qc[:, None, :]
                        * (astar * inv_d[None, :])[None, :, :]) \
                 * keep[:, None, :]
-            C_o[:] = (C + Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]
-                      - qc[:, None, :] * (qc * inv_d[None, :])[None, :, :]) \
-                * keep[:, None, :] * keep[None, :, :]
-            Q_o[:] = (Q - Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]) \
-                * keep[:, None, :] * keep[None, :, :]
+            _st(C_o, (C + Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :]
+                      - qc[:, None, :] * (qc * inv_d[None, :])[None, :, :])
+                * keep[:, None, :] * keep[None, :, :])
+            _st(Q_o, (Q - Qs[:, None, :] * (Qs * inv_q[None, :])[None, :, :])
+                * keep[:, None, :] * keep[None, :, :])
             bv_o[:] = bv_o[:] * keep[:, None, :]
             act_o[:] = act_o[:] * keep
             # rank-1 deltas hit the diagonal in closed form
@@ -124,9 +133,9 @@ def _kernel(cfg: GPConfig, n_points: int,
 
         alpha = al_o[:]
         m = jnp.sum(alpha * k[:, None, :], axis=0)              # [D, L]
-        Ck = jnp.sum(C_o[:] * k[None, :, :], axis=1)            # [S, L]
+        Ck = jnp.sum(_ld(C_o) * k[None, :, :], axis=1)          # [S, L]
         s2 = kstar + jnp.sum(k * Ck, axis=0)                    # [L]
-        e_hat = jnp.sum(Q_o[:] * k[None, :, :], axis=1)         # [S, L]
+        e_hat = jnp.sum(_ld(Q_o) * k[None, :, :], axis=1)       # [S, L]
         gamma = kstar - jnp.sum(k * e_hat, axis=0)              # [L]
         gamma = jnp.where(gamma < cfg.gamma_tiny, 0.0, gamma)
         s2 = jnp.maximum(s2, gamma)        # f32 invariant (see sparse_gp)
@@ -142,12 +151,13 @@ def _kernel(cfg: GPConfig, n_points: int,
         v1 = Ck + sp[None, :] * e_hat + (1.0 - sp)[None, :] * oh
         coefA = (sp * eta + (1.0 - sp)) * v                     # [L]
         al_o[:] = alpha + v1[:, None, :] * (q * coefA[None, :])[None, :, :]
-        C_o[:] = C_o[:] + (r * coefA)[None, None, :] \
-            * v1[:, None, :] * v1[None, :, :]
+        _st(C_o, _ld(C_o) + (r * coefA)[None, None, :]
+            * v1[:, None, :] * v1[None, :, :])
         gsafe = jnp.maximum(gamma, cfg.gamma_tiny)
         coefQ = (1.0 - sp) * v / gsafe                          # [L]
         e_f = e_hat - oh
-        Q_o[:] = Q_o[:] + coefQ[None, None, :] * e_f[:, None, :] * e_f[None, :, :]
+        _st(Q_o, _ld(Q_o)
+            + coefQ[None, None, :] * e_f[:, None, :] * e_f[None, :, :])
         grow = (1.0 - sp)[None, :] * v[None, :] * oh            # [S, L]
         bv_o[:] = bv * (1.0 - grow)[:, None, :] + grow[:, None, :] * x[None, :, :]
         act_o[:] = jnp.maximum(act, grow)
@@ -182,8 +192,8 @@ def _kernel(cfg: GPConfig, n_points: int,
     C_o[:] = C_in[:]
     Q_o[:] = Q_in[:]
     act_o[:] = act_in[:]
-    dC_ref[:] = _diag(C_in[:])
-    dQ_ref[:] = _diag(Q_in[:])
+    dC_ref[:] = _diag(C_in[:].astype(f32))
+    dQ_ref[:] = _diag(Q_in[:].astype(f32))
     lax.fori_loop(0, n_points, body, 0)
 
 
@@ -205,29 +215,36 @@ def _from_lanes(a, B):
     return a.reshape((-1,) + a.shape[2:])[:B]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret",
+                                              "state_dtype"))
 def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
                             X: jnp.ndarray, Y: jnp.ndarray,
                             mask: jnp.ndarray,
                             interpret: bool = False,
-                            s20=None, eps_tol=None) -> SOGPState:
+                            s20=None, eps_tol=None,
+                            state_dtype=None) -> SOGPState:
     """Drop-in for sparse_gp.add_points_batch (Gaussian noise, no shuffle —
     pre-permute X/Y/mask outside if desired). X: [B, P, 2], Y: [B, P, D],
     mask: [B, P].
 
     s20 / eps_tol: optional TRACED overrides of the config constants; they
     ride the SMEM param row, so a calibrated run (traced hyperparameters
-    from MAP/HMC) reuses the same compiled kernel instead of retracing."""
+    from MAP/HMC) reuses the same compiled kernel instead of retracing.
+    state_dtype: optional storage dtype for the C/Q state blocks (e.g.
+    jnp.bfloat16 — SURVEY §7 watch-list (c)); arithmetic stays float32
+    and the returned state is converted back to the input dtype. See
+    benchmarks/r3_bf16.json for the measured accuracy/throughput verdict."""
     B, P, _ = X.shape
     dt = states.C.dtype
+    sdt = dt if state_dtype is None else state_dtype
 
     Xl = _to_lanes(X, B)                       # [nblk, P, 2, L]
     Yl = _to_lanes(Y, B)                       # [nblk, P, D, L]
     Vl = _to_lanes(mask.astype(dt), B)         # [nblk, P, L]
     bvl = _to_lanes(states.bv, B)              # [nblk, S, 2, L]
     al = _to_lanes(states.alpha, B)            # [nblk, S, D, L]
-    Cl = _to_lanes(states.C, B)                # [nblk, S, S, L]
-    Ql = _to_lanes(states.Q, B)
+    Cl = _to_lanes(states.C.astype(sdt), B)    # [nblk, S, S, L]
+    Ql = _to_lanes(states.Q.astype(sdt), B)
     actl = _to_lanes(states.active.astype(dt), B)  # [nblk, S, L]
     nblk = Xl.shape[0]
 
@@ -253,8 +270,8 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     out_shapes = [
         jax.ShapeDtypeStruct(bvl.shape, dt),
         jax.ShapeDtypeStruct(al.shape, dt),
-        jax.ShapeDtypeStruct(Cl.shape, dt),
-        jax.ShapeDtypeStruct(Ql.shape, dt),
+        jax.ShapeDtypeStruct(Cl.shape, sdt),
+        jax.ShapeDtypeStruct(Ql.shape, sdt),
         jax.ShapeDtypeStruct(actl.shape, dt),
     ]
     bv2, a2, C2, Q2, act2 = pl.pallas_call(
@@ -279,5 +296,5 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
 
     return SOGPState(
         bv=_from_lanes(bv2, B), alpha=_from_lanes(a2, B),
-        C=_from_lanes(C2, B), Q=_from_lanes(Q2, B),
+        C=_from_lanes(C2, B).astype(dt), Q=_from_lanes(Q2, B).astype(dt),
         active=_from_lanes(act2, B) > 0.5)

@@ -235,23 +235,35 @@ def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
 @functools.partial(jax.jit, static_argnames=("n_patches", "n_points"))
 def calib_subsample(batch: patches_mod.PatchBatch, n_patches: int,
                     n_points: int):
-    """Select a dense, valid-first calibration subsample from a patch bank.
+    """Select a dense, spatially stratified calibration subsample from a
+    patch bank.
 
     Banks may be scatter-time shuffled (padding interleaved with data), so
     taking the first rows/slots can yield mostly-invalid entries — a
     near-flat marginal-likelihood surface that MAP/NUTS then wanders on.
-    Instead take the n_patches patches with the most claimed points and
-    compact each one's valid points to the front.
+    And banks may be ORDERED (PatchConfig.bank_order="center_out"): the
+    first n valid points are then the n most central ones — a radially
+    biased set whose marginal likelihood prefers much shorter length
+    scales (measured: NUTS R-hat blew up to 31 on the first-n sample).
+    So: take the n_patches patches with the most claimed points, compact
+    each one's valid points to the front, and STRIDE the compacted order
+    (idx_j = floor(j*count/n)) — under any bank order this covers the
+    patch's span instead of a contiguous prefix.
     Returns (X [B, n, 2], y [B, n], mask [B, n])."""
     counts = jnp.sum(batch.mask, axis=1)
     _, top = jax.lax.top_k(counts, n_patches)
     Xb = batch.X[top]
     yb = batch.y[top, :, 0]
     mb = batch.mask[top]
-    order = jnp.argsort(~mb, axis=1, stable=True)[:, :n_points]  # valid first
-    X = jnp.take_along_axis(Xb, order[:, :, None], axis=1)
-    y = jnp.take_along_axis(yb, order, axis=1)
-    m = jnp.take_along_axis(mb, order, axis=1)
+    order = jnp.argsort(~mb, axis=1, stable=True)         # valid first [B, P]
+    cnt = jnp.sum(mb, axis=1).astype(jnp.int32)           # [B]
+    j = jnp.arange(n_points, dtype=jnp.int32)             # [n]
+    pos = jnp.minimum((j[None, :] * jnp.maximum(cnt, 1)[:, None])
+                      // n_points, jnp.maximum(cnt - 1, 0)[:, None])
+    sel = jnp.take_along_axis(order, pos, axis=1)         # [B, n]
+    X = jnp.take_along_axis(Xb, sel[:, :, None], axis=1)
+    y = jnp.take_along_axis(yb, sel, axis=1)
+    m = jnp.take_along_axis(mb, sel, axis=1) & (j[None, :] < cnt[:, None])
     return X, y, m
 
 

@@ -320,18 +320,17 @@ def map_insert(state: MapState, points, colors, valid,
     W = state.W | (Wadd > 0).reshape(B, G)
 
     # ---- 6. bank claimed points and train GPs incrementally -------------
+    # Claimed banks train every insertion; pending banks (points that
+    # accumulated while a voxel waited for min_nbr evidence) are non-empty
+    # only on insertions that CREATE patches, so their training pass runs
+    # under lax.cond — the steady state (tracked stream, no new patches)
+    # pays for one [B, Pmax] train instead of one [B, Pmax + Pp].
     uv = loc_claim[:, 1:]
     Xb, Yb, Cb, Mb = _bank_training_points(
         claim, claimed, uv, d_train, c_train, B, Pmax)
-    # append pending points of new patches into the banks (their uv/depth
-    # in the fresh frame, demeaned)
     pend_uv = pend_loc[..., 1:]
     pend_depth = pend_loc[..., 0] - mn[:, None]
     pend_ccols = state.pend_cols - cmn[:, None, :]
-    Xb2 = jnp.concatenate([Xb, pend_uv], axis=1)
-    Yb2 = jnp.concatenate([Yb, pend_depth[..., None]], axis=1)
-    Cb2 = jnp.concatenate([Cb, pend_ccols], axis=1)
-    Mb2 = jnp.concatenate([Mb, pend_clip], axis=1)
 
     dkp, ckp = default_params(cfg)
     dnoise = GaussianNoise(s20=jnp.asarray(cfg.depth_gp.s20, dt))
@@ -340,26 +339,50 @@ def map_insert(state: MapState, points, colors, valid,
     if use_pallas:
         from gp_compressor_tpu.pallas_kernels import sogp_train
 
-        # the fused kernel does not shuffle; apply the reference's
-        # shuffle-before-insert (src/sparse_gp.hpp:43-56) here
-        Ptot = Xb2.shape[1]
-        perm = jax.vmap(lambda k: jax.random.permutation(k, Ptot))(
-            jax.random.split(kd, B))
-        take = lambda a: jnp.take_along_axis(
-            a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
-        Xs, Ys, Cs = take(Xb2), take(Yb2), take(Cb2)
-        Ms = jnp.take_along_axis(Mb2, perm, axis=1)
-        depth_gp = sogp_train.add_points_batch_pallas(
-            dkp, cfg.depth_gp, state.depth_gp, Xs, Ys, Ms)
-        rgb_gp = sogp_train.add_points_batch_pallas(
-            ckp, cfg.rgb_gp, state.rgb_gp, Xs, Cs, Ms)
+        def train_pair(states, X, Y, C, M, k):
+            # the fused kernel does not shuffle; apply the reference's
+            # shuffle-before-insert (src/sparse_gp.hpp:43-56) here
+            P_ = X.shape[1]
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, P_))(
+                jax.random.split(k, B))
+            take = lambda a: jnp.take_along_axis(
+                a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
+            Xs, Ys, Cs = take(X), take(Y), take(C)
+            Ms = jnp.take_along_axis(M, perm, axis=1)
+            d = sogp_train.add_points_batch_pallas(
+                dkp, cfg.depth_gp, states[0], Xs, Ys, Ms)
+            c = sogp_train.add_points_batch_pallas(
+                ckp, cfg.rgb_gp, states[1], Xs, Cs, Ms)
+            return d, c
     else:
-        depth_gp = sparse_gp.add_points_batch(
-            dkp, dnoise, cfg.depth_gp, state.depth_gp, Xb2, Yb2, Mb2,
-            jax.random.split(kd, B))
-        rgb_gp = sparse_gp.add_points_batch(
-            ckp, cnoise, cfg.rgb_gp, state.rgb_gp, Xb2, Cb2, Mb2,
-            jax.random.split(kc, B))
+        def train_pair(states, X, Y, C, M, k):
+            kd_, kc_ = jax.random.split(k)
+            d = sparse_gp.add_points_batch(
+                dkp, dnoise, cfg.depth_gp, states[0], X, Y, M,
+                jax.random.split(kd_, B))
+            c = sparse_gp.add_points_batch(
+                ckp, cnoise, cfg.rgb_gp, states[1], X, C, M,
+                jax.random.split(kc_, B))
+            return d, c
+
+    depth_gp, rgb_gp = train_pair((state.depth_gp, state.rgb_gp),
+                                  Xb, Yb, Cb, Mb, kd)
+    depth_gp, rgb_gp = jax.lax.cond(
+        jnp.any(becomes),
+        lambda s: train_pair(s, pend_uv, pend_depth[..., None], pend_ccols,
+                             pend_clip, kc),
+        lambda s: s,
+        (depth_gp, rgb_gp))
+    # failure containment, as in compressor.train: an incrementally-updated
+    # patch that diverged past the f32 conditioning cliff would otherwise
+    # poison the map forever (map_cloud emitted NaN points before this)
+    from gp_compressor_tpu.geometry.patches import prediction_grid
+    probes = prediction_grid(cfg.patch, dt)[::5]
+    depth_gp, _ = sparse_gp.sanitize_batch(depth_gp, dkp, cfg.depth_gp.s20,
+                                           max_pred=10.0 * cfg.patch.res,
+                                           probes=probes)
+    rgb_gp, _ = sparse_gp.sanitize_batch(rgb_gp, ckp, cfg.rgb_gp.s20,
+                                         max_pred=2.5e3, probes=probes)
 
     # ---- 7. pending buffers: consumed for created patches; unclaimed
     # points accumulate into their HOME voxel's pending buffer ------------
@@ -641,7 +664,8 @@ def add_cloud_fused(state: MapState, points, colors, valid,
                               state.R_cloud),
             t_cloud=jnp.where(has_map, state.t_cloud + rstate.t_cloud,
                               state.t_cloud))
-        diverged = has_map & (rstate.step_nbr >= rcfg.max_steps)
+        if mcfg.drop_on_reg_cap:
+            diverged = has_map & (rstate.step_nbr >= rcfg.max_steps)
         reg_steps = rstate.step_nbr
 
     min_nbr = jnp.where(state.n_patches == 0, 1, mcfg.min_points_new_patch)

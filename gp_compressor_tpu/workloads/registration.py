@@ -402,10 +402,12 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
 
     # rotate gradients to world: g_world = R g_local (dX *= R^T, :204)
     gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX)
-    # world positions and twist Jacobians (:205-215)
+    # world positions; twist chain g^T J with J = [I | -[x]_x]
+    # (src/gp_registration.cpp:40-49) in closed form: g^T(-[x]_x) = x x g,
+    # so contrib = [g, x x g] — no [B, P, 3, 6] Jacobian materialisation
+    # (~1 GB of HBM traffic per step at bench scale)
     pw = jnp.einsum('bij,bpj->bpi', batch.rotations, Xb) + batch.means[:, None, :]
-    J = jax.vmap(jax.vmap(transforms.transform_jacobian))(pw)   # [B,P,3,6]
-    contrib = jnp.einsum('bpi,bpij->bpj', gw, J)                # [B,P,6]
+    contrib = jnp.concatenate([gw, jnp.cross(pw, gw)], axis=-1)  # [B,P,6]
     n_used = jnp.maximum(jnp.sum(Mb), 1)
     delta = jnp.sum(jnp.where(Mb[..., None], contrib, 0.0), axis=(0, 1)) / n_used
 
@@ -448,8 +450,9 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
     gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX)
-    J = jax.vmap(jax.vmap(transforms.transform_jacobian))(Wb)   # [B,P,3,6]
-    contrib = jnp.einsum('bpi,bpij->bpj', gw, J)                # [B,P,6]
+    # closed-form twist chain: contrib = [g, x x g] (see
+    # compute_transformation) — avoids the [B, P, 3, 6] Jacobian
+    contrib = jnp.concatenate([gw, jnp.cross(Wb, gw)], axis=-1)  # [B,P,6]
     n_used = jnp.maximum(jnp.sum(m), 1)
     delta = jnp.sum(jnp.where(m[..., None], contrib, 0.0), axis=(0, 1)) / n_used
 

@@ -134,13 +134,42 @@ def test_map_cloud_prediction():
     assert np.isfinite(w).all()
 
 
+def _hole_wall_cloud(n=6000, seed=7):
+    """Carve-guaranteed scene: a front wall at x=1 with a circular hole,
+    and a back wall at x=2 seen THROUGH the hole. Every camera->back-wall
+    ray crosses a front-wall patch inside the hole, so carved (free & ~W)
+    cells are structurally guaranteed alongside hit cells — no vacuous
+    label-count guards needed (VERDICT r2 weak #6)."""
+    r = np.random.default_rng(seed)
+    nf = n * 2 // 3
+    nb = n - nf
+    # front wall, hole of radius 0.45 around (y, z) = (1.5, 1.5)
+    yz = r.uniform(0.0, 3.0, size=(nf * 2, 2))
+    keep = np.linalg.norm(yz - 1.5, axis=1) > 0.45
+    yz = yz[keep][:nf]
+    front = np.stack([np.full(len(yz), 1.0), yz[:, 0], yz[:, 1]], -1)
+    # back wall seen through the hole: its visible window is the hole
+    # scaled by distance ratio (camera at origin: x doubles => window
+    # doubles around the hole axis)
+    ang = r.uniform(0, 2 * np.pi, nb)
+    rad = 0.8 * np.sqrt(r.uniform(0, 1, nb))
+    byz = 1.5 + np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1) * 1.0
+    back = np.stack([np.full(nb, 2.0), byz[:, 0], byz[:, 1]], -1)
+    pts = np.concatenate([front, back]).astype(np.float64)
+    pts += 0.004 * r.standard_normal(pts.shape)
+    cols = np.full((len(pts), 3), 128.0)
+    return (jnp.asarray(pts), jnp.asarray(cols),
+            jnp.ones(len(pts), bool))
+
+
 def test_occupancy_channel():
     """The probit occupancy GP (completed unfinished reference feature)
-    must separate occupied from carved-free cells."""
+    must separate occupied from carved-free cells — unconditionally, on a
+    scene constructed to guarantee both label classes."""
     state = _fresh_map()
-    pts, cols, valid = _cloud(5000, 7)
-    state, _ = mapping.add_cloud(state, pts, cols, valid, CFG, MCFG,
-                                 jax.random.key(0))
+    pts, cols, valid = _hole_wall_cloud()
+    state, info = mapping.add_cloud(state, pts, cols, valid, CFG, MCFG,
+                                    jax.random.key(0))
     occ = mapping.train_occupancy(state, CFG, jax.random.key(1))
     import jax.numpy as jnp
     from gp_compressor_tpu.geometry import patches as pm
@@ -153,9 +182,15 @@ def test_occupancy_channel():
     created = np.asarray(state.created)
     hit = W & ~free & created[:, None]
     carved = free & ~W & created[:, None]
-    if hit.sum() > 50 and carved.sum() > 50:
-        assert p[hit].mean() > p[carved].mean() + 0.1, (
-            p[hit].mean(), p[carved].mean())
+    # the hole-wall scene structurally guarantees both classes
+    assert hit.sum() > 50, hit.sum()
+    assert carved.sum() > 50, carved.sum()
+    assert p[hit].mean() > p[carved].mean() + 0.1, (
+        p[hit].mean(), p[carved].mean())
+    # silent-truncation counters are surfaced and zero at this scale
+    assert info["bank_dropped"] == 0
+    assert info["pend_dropped"] == 0
+    assert info["patch_overflow"] == 0
 
 
 def test_carve_free_space_matches_serial_oracle():

@@ -253,3 +253,26 @@ def test_closed_form_density_grads_match_autodiff():
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(gd2), np.asarray(gd_ref2),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_icp_baseline_recovers_transform():
+    """Point-to-plane ICP (the independent comparator, workloads/icp.py)
+    must recover a small rigid perturbation on the synthetic fixture at
+    least as well as halving the initial error — anchoring the gp-accuracy
+    numbers with a non-GP method (the reference's NDT role,
+    ndt/test_ndt_accuracy.cpp:91-188)."""
+    from gp_compressor_tpu.workloads import icp
+
+    (mpts, mcols), (spts_np, scols_np) = _map_and_scan()
+    comp = compressor.compress(mpts, mcols, jnp.ones(mpts.shape[0], bool),
+                               CFG, jax.random.key(0))
+    spts_t, R_true = synthetic.rigid_transform(spts_np, [0.0, 0.008, -0.006],
+                                               [0.02, -0.015, 0.01])
+    spts = jnp.asarray(spts_t, jnp.float64)
+
+    res = icp.icp_register(comp, spts, jnp.ones(spts.shape[0], bool), CFG)
+    aligned = np.asarray(transforms.apply(spts, res.R, res.t))
+    err0 = np.linalg.norm(spts_t - spts_np, axis=1).mean()
+    err1 = np.linalg.norm(aligned - spts_np, axis=1).mean()
+    assert int(res.n_matched) > 1000
+    assert err1 < 0.5 * err0, (err0, err1)
