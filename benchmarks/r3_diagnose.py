@@ -128,6 +128,129 @@ def diag_mapping(pts, cols, valid, cfg):
           flush=True)
 
 
+def diag_insert(pts, cols, valid, cfg):
+    """Per-stage device time of map_insert at the bench operating point:
+    claims, sphere moments, train pair, carve, banking+scatters remainder."""
+    import functools
+
+    from gp_compressor_tpu.geometry import patches as patches_mod
+    from gp_compressor_tpu.models import sparse_gp
+    from gp_compressor_tpu.pallas_kernels import sogp_train
+    from gp_compressor_tpu.workloads.compressor import default_params
+
+    lo = np.asarray(jnp.min(pts, 0)) - 0.3
+    hi = np.asarray(jnp.max(pts, 0)) + 0.3
+    steps = mapping.required_ray_steps(lo, hi, cfg.patch.res)
+    rcfg = RegistrationConfig(max_steps=12, min_steps=2, step=0.02)
+    Ns = 150_000
+    scan0 = (pts[0::2][:Ns], cols[0::2][:Ns], valid[0::2][:Ns])
+    scan1 = (pts[1::2][:Ns], cols[1::2][:Ns], valid[1::2][:Ns])
+    mcfg = MappingConfig(min_points_new_patch=50, max_ray_steps=steps,
+                         carve_stride=4, drop_on_reg_cap=False)
+    state = mapping.map_init(cfg, mcfg, lo, hi, dtype=pts.dtype)
+    state, _, _, _ = mapping.add_cloud_fused(state, *scan0, cfg, mcfg,
+                                             jax.random.key(0), rcfg=rcfg,
+                                             use_pallas=True)
+    _sync(state.means)
+    B = cfg.patch.max_patches
+    dt = pts.dtype
+    grid = state.grid(cfg.patch.res)
+
+    @jax.jit
+    def claims_only(points, valid):
+        rot_p = jnp.concatenate([state.rotations, jnp.eye(3, dtype=dt)[None]],
+                                0)
+        mean_p = jnp.concatenate([state.means, jnp.zeros((1, 3), dt)], 0)
+        trained_p = jnp.concatenate([state.created, jnp.zeros((1,), bool)])
+        ids_p = jnp.concatenate([state.leaf_ids, jnp.asarray([B], jnp.int32)])
+        claim, loc, cl = registration.claim_to_patches(
+            grid, rot_p, mean_p, trained_p, points, valid, cfg.patch.res,
+            leaf_ids=ids_p)
+        return claim, loc, cl
+
+    def run_claims():
+        out = claims_only(scan1[0], scan1[2])
+        _sync(out[1])
+        return out
+    t_claims, (claim, loc, cl) = _time(run_claims)
+
+    @jax.jit
+    def moments_only(points, valid):
+        M, c = patches_mod.sphere_moments(grid, points, valid, cfg.patch)
+        return jnp.sum(M) + jnp.sum(c)
+    t_mom, _ = _time(lambda: float(moments_only(scan1[0], scan1[2])))
+
+    @jax.jit
+    def bank_only(claim, loc, colors, cl):
+        Xb, Yb, Cb, Mb = mapping._bank_training_points(
+            claim, cl, loc[:, 1:], loc[:, 0], colors, B,
+            cfg.patch.max_points_per_patch)
+        return Xb, Yb, Cb, Mb
+    def run_bank():
+        out = bank_only(claim, loc, scan1[1], cl)
+        _sync(out[0])
+        return out
+    t_bank, (Xb, Yb, Cb, Mb) = _time(run_bank)
+
+    dkp, ckp = default_params(cfg)
+
+    @jax.jit
+    def train_only(Xb, Yb, Cb, Mb):
+        kd, kc = jax.random.split(jax.random.key(3))
+        P_ = Xb.shape[1]
+        perm = jax.vmap(lambda kk: jax.random.permutation(kk, P_))(
+            jax.random.split(kd, B))
+        take = lambda a: jnp.take_along_axis(
+            a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
+        d = sogp_train.add_points_batch_pallas(
+            dkp, cfg.depth_gp, state.depth_gp, take(Xb), take(Yb),
+            jnp.take_along_axis(Mb, perm, axis=1))
+        c = sogp_train.add_points_batch_pallas(
+            ckp, cfg.rgb_gp, state.rgb_gp, take(Xb), take(Cb),
+            jnp.take_along_axis(Mb, perm, axis=1))
+        return jnp.sum(d.C) + jnp.sum(c.C)
+    t_train, _ = _time(lambda: float(train_only(Xb, Yb, Cb, Mb)))
+
+    @jax.jit
+    def carve_only(points, hv, hc):
+        free = mapping._carve_free_space(
+            state, state.key_to_leaf, state.created, state.rotations,
+            state.means, state.free, points, hv, hc, cfg, mcfg)
+        return jnp.sum(free)
+    cs = mcfg.carve_stride
+    t_carve, _ = _time(lambda: float(carve_only(
+        scan1[0][::cs], (scan1[2] & cl)[::cs], claim[::cs])))
+
+    @jax.jit
+    def sanitize_only(d, c):
+        probes = patches_mod.prediction_grid(cfg.patch, dt)[::5]
+        d2, _ = sparse_gp.sanitize_batch(d, dkp, cfg.depth_gp.s20,
+                                         max_pred=10.0 * cfg.patch.res,
+                                         probes=probes)
+        c2, _ = sparse_gp.sanitize_batch(c, ckp, cfg.rgb_gp.s20,
+                                         max_pred=2.5e3, probes=probes)
+        return jnp.sum(d2.C) + jnp.sum(c2.C)
+    t_san, _ = _time(lambda: float(sanitize_only(state.depth_gp,
+                                                 state.rgb_gp)))
+
+    def ins():
+        st2, _ = mapping.map_insert(state, scan1[0], scan1[1], scan1[2],
+                                    cfg, mcfg, jax.random.key(1),
+                                    jnp.asarray(50, jnp.int32),
+                                    use_pallas=True)
+        _sync(st2.means)
+        return st2
+    t_ins, _ = _time(ins)
+    print(json.dumps({"diag": "insert_stages",
+                      "t_claims": round(t_claims, 3),
+                      "t_moments": round(t_mom, 3),
+                      "t_bank": round(t_bank, 3),
+                      "t_train_pair": round(t_train, 3),
+                      "t_carve_s4": round(t_carve, 3),
+                      "t_sanitize": round(t_san, 3),
+                      "t_insert_total": round(t_ins, 3)}), flush=True)
+
+
 def diag_registration(pts, cols, valid, cfg):
     from gp_compressor_tpu.geometry import transforms
 
@@ -140,26 +263,44 @@ def diag_registration(pts, cols, valid, cfg):
     moved = pts @ R_true.T + t_true
     err0 = float(jnp.mean(jnp.linalg.norm(moved - pts, axis=1)))
 
-    for step, cap, reclaim in ((0.02, 60, 4), (0.05, 60, 4), (0.1, 60, 4),
-                               (0.05, 60, 1), (0.1, 60, 1)):
-        rcfg = RegistrationConfig(max_steps=cap, step=step,
-                                  grad_tol_step_ref=0.1, min_steps=5,
-                                  reclaim_every=reclaim)
-        st, out = registration.register(comp, moved, cols, valid, cfg, rcfg)
-        _sync(out)
-        t0 = time.perf_counter()
-        st, out = registration.register(comp, moved, cols, valid, cfg, rcfg)
-        _sync(out)
-        wall = time.perf_counter() - t0
-        err1 = float(jnp.mean(jnp.linalg.norm(out - pts, axis=1)))
-        terr, rerr = registration.registration_error(st.R_cloud, st.t_cloud,
-                                                     R_true, t_true)
-        print(json.dumps({"diag": "registration", "step": step, "cap": cap,
-                          "reclaim": reclaim, "steps": int(st.step_nbr),
-                          "wall_s": round(wall, 3),
-                          "err0": round(err0, 4), "err1": round(err1, 4),
-                          "trans_err": round(float(terr), 4),
-                          "rot_err": round(float(rerr), 5)}), flush=True)
+    def run_cfgs(tag, cmp_, cfgs, dkp=None, ds20=None):
+        for step, cap, reclaim, mm in cfgs:
+            rcfg = RegistrationConfig(max_steps=cap, step=step,
+                                      grad_tol_step_ref=0.1, min_steps=5,
+                                      reclaim_every=reclaim, max_motion=mm)
+            st, out = registration.register(cmp_, moved, cols, valid, cfg,
+                                            rcfg, depth_kp=dkp,
+                                            depth_s20=ds20)
+            _sync(out)
+            t0 = time.perf_counter()
+            st, out = registration.register(cmp_, moved, cols, valid, cfg,
+                                            rcfg, depth_kp=dkp,
+                                            depth_s20=ds20)
+            _sync(out)
+            wall = time.perf_counter() - t0
+            err1 = float(jnp.mean(jnp.linalg.norm(out - pts, axis=1)))
+            terr, rerr = registration.registration_error(
+                st.R_cloud, st.t_cloud, R_true, t_true)
+            print(json.dumps({"diag": "registration", "map": tag,
+                              "step": step, "cap": cap, "reclaim": reclaim,
+                              "max_motion": mm, "steps": int(st.step_nbr),
+                              "wall_s": round(wall, 3),
+                              "err0": round(err0, 4),
+                              "err1": round(err1, 4),
+                              "trans_err": round(float(terr), 4),
+                              "rot_err": round(float(rerr), 5)}),
+                  flush=True)
+
+    run_cfgs("ref", comp, ((0.02, 60, 4, 0.002), (0.1, 60, 4, 0.002),
+                           (0.1, 60, 4, 0.001), (0.005, 60, 4, None)))
+
+    compc, kpc, s20c, _ = compressor.compress_decompress_calibrated(
+        pts, cols, valid, cfg, jax.random.key(0), use_pallas=True,
+        calib_patches=32, calib_points=64, calib_steps=150, calib_starts=4)
+    run_cfgs("calibrated", compc, ((0.005, 60, 4, 0.002),
+                                   (0.0005, 60, 4, 0.002),
+                                   (0.02, 60, 4, 0.001)),
+             dkp=kpc, ds20=s20c)
 
 
 def diag_nuts(pts, cols, valid, cfg):
@@ -207,6 +348,8 @@ def main():
     cfg = make_cfg()
     if "mapping" in which:
         diag_mapping(pts, cols, valid, cfg)
+    if "insert" in which:
+        diag_insert(pts, cols, valid, cfg)
     if "registration" in which:
         diag_registration(pts, cols, valid, cfg)
     if "nuts" in which:

@@ -129,6 +129,16 @@ class RegistrationConfig:
     # (src/gp_mapping.cpp:22-27), so a scaled tolerance there would turn
     # routine near-converged polishing runs into "divergence".
     color_blend: float = 1.0     # alpha: 1 => depth-only gradient (gp_registration.cpp:198)
+    max_motion: Optional[float] = None
+    # Per-step motion cap: rescale step*delta so the translation norm (m)
+    # and rotation-vector norm (rad) each stay <= max_motion. The raw
+    # density-gradient magnitude has no natural units (it scales with the
+    # GP's predictive variance), so a fixed step is only stable in a
+    # narrow window — measured at bench scale, step 0.02 diverged to 40x
+    # the initial error while step 0.005 crawled. The cap makes the
+    # iteration a trust region: direction from the reference's gradient
+    # (src/gp_registration.cpp:214-215), length bounded. None = reference
+    # behavior.
     # Re-run the scan->map claims pass every k-th gradient step. The
     # reference re-bins every step (k=1); between re-claims, banked points
     # ride the accumulated transform and are merely re-clipped against

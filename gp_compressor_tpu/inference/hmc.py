@@ -52,33 +52,35 @@ def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
     numerical prior: noise below ~floor * sigma_f^2 is indistinguishable
     in f32 anyway.
     """
+    from gp_compressor_tpu.ops import linalg_f32
+
     sigmaf_sq, l_sq, s20 = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
     s20 = s20 + noise_floor_rel * sigmaf_sq
     kp = RBFParams(sigmaf_sq=sigmaf_sq, l_sq=l_sq)
     n = X.shape[0]
     m2 = mask[:, None] * mask[None, :]
     K = kernels.gram(kp, X, X) * m2 + jnp.diag(jnp.where(mask > 0, s20, 1.0))
-    # The blocked TPU Cholesky/solve run their INTERNAL matmuls at the
-    # default precision — bf16 passes whose ~0.4% relative error swamps
-    # the s20 diagonal of the near-rank-1 Gram at reference-constant
-    # proposals (sigmaf^2=100, l=1 m on a 0.15 m patch: K ~ 100*J +
-    # 0.11*I). Measured: NUTS on the TPU ran at accept=NaN / R-hat 28
-    # while the same chains on CPU mixed at 0.92/1.08. Force f32 passes.
-    with jax.default_matmul_precision("highest"):
-        # double-where safe Cholesky: when a sampler proposal wanders to a
-        # numerically singular (sigmaf, l) the factorization goes NaN —
-        # and a plain `where(bad, -inf, ll)` still back-propagates NaN
-        # through the DEAD branch (0 * NaN in the cholesky vjp). Refactor
-        # a safe primal so both value AND gradient are clean; the -inf
-        # value rejects the move.
-        L_try = jnp.linalg.cholesky(K)
-        bad = ~jnp.all(jnp.isfinite(L_try))
-        K_safe = jnp.where(bad, jnp.eye(n, dtype=K.dtype), K)
-        L = jnp.linalg.cholesky(K_safe)
-        ym = y * mask
-        alpha = jax.scipy.linalg.cho_solve((L, True), ym)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
-        quad = ym @ alpha
+    # Cholesky + solves via ops.linalg_f32: the XLA Cholesky HLO's internal
+    # blocked expansion (and its AD rules) run dot_generals at backend-
+    # default precision — bf16 on TPU — which at the near-rank-1
+    # reference-constant Gram (K ~ 100*J + 0.11*I) wrecked the posterior:
+    # NUTS ran at accept=NaN / R-hat 28 on TPU while identical chains on
+    # CPU mixed at 0.92/1.08. The elementwise-only routines are exactly
+    # reproducible across backends, forward and backward.
+    #
+    # double-where safe Cholesky: when a sampler proposal wanders to a
+    # numerically singular (sigmaf, l) the factorization goes NaN — and a
+    # plain `where(bad, -inf, ll)` still back-propagates NaN through the
+    # DEAD branch (0 * NaN in the cholesky vjp). Refactor a safe primal so
+    # both value AND gradient are clean; the -inf value rejects the move.
+    L_try = linalg_f32.cholesky(K)
+    bad = ~jnp.all(jnp.isfinite(L_try))
+    K_safe = jnp.where(bad, jnp.eye(n, dtype=K.dtype), K)
+    L = linalg_f32.cholesky(K_safe)
+    ym = y * mask
+    alpha = linalg_f32.cho_solve(L, ym)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    quad = jnp.sum(ym * alpha)
     neff = jnp.sum(mask)
     ll = -0.5 * (quad + logdet + neff * jnp.log(2.0 * jnp.pi))
     return jnp.where(bad, jnp.asarray(-jnp.inf, ll.dtype), ll)

@@ -39,19 +39,21 @@ def fit(params: RBFParams, s20, X: jnp.ndarray, y: jnp.ndarray,
     y: [n, dout]; mask: [n]. Equivalent to gaussian_process::add_measurements
     (src/gaussian_process.cpp:15-26) for the unmasked rows.
     """
+    from gp_compressor_tpu.ops import linalg_f32
+
     n = X.shape[0]
     m2 = mask[:, None] * mask[None, :]
     K = kernels.gram(params, X, X) * m2
     # decouple masked-out rows with a unit diagonal; real rows get + s20
     diag = jnp.where(mask > 0, s20, 1.0)
     K = K + jnp.diag(diag)
-    # f32 internal passes: the TPU blocked Cholesky/solve otherwise run
-    # their matmuls in bf16, whose error swamps the s20 diagonal of the
-    # near-rank-1 Gram at reference constants (see hmc.gp_marginal_loglik)
-    with jax.default_matmul_precision("highest"):
-        L = jnp.linalg.cholesky(K)
-        ym = y * mask[:, None]
-        alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+    # elementwise-only Cholesky/solves: the XLA Cholesky HLO's internal
+    # blocked matmuls run at backend-default (bf16 on TPU) precision,
+    # which the near-rank-1 reference-constant Gram cannot survive — see
+    # ops/linalg_f32.py
+    L = linalg_f32.cholesky(K)
+    ym = y * mask[:, None]
+    alpha = linalg_f32.cho_solve(L, ym)
     return ExactGPState(X=X, mask=mask, chol=L, alpha=alpha)
 
 
@@ -63,12 +65,12 @@ def predict(params: RBFParams, state: ExactGPState,
     (src/gaussian_process.cpp:28-45): f* = K*^T alpha,
     V* = k** - v^T v, v = L^-1 K*.
     """
+    from gp_compressor_tpu.ops import linalg_f32
+
     Ks = kernels.gram(params, state.X, Xstar) * state.mask[:, None]   # [n, m]
     mean = jnp.einsum('nm,nd->md', Ks, state.alpha,
                       precision=jax.lax.Precision.HIGHEST)
-    with jax.default_matmul_precision("highest"):
-        v = jax.scipy.linalg.solve_triangular(state.chol, Ks,
-                                              lower=True)              # [n, m]
+    v = linalg_f32.solve_lower(state.chol, Ks)                         # [n, m]
     var = kernels.kdiag(params, Xstar) - jnp.sum(v * v, axis=0)
     return mean, var
 

@@ -420,7 +420,7 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
 
 def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
                rcfg: RegistrationConfig, depth_kp, rgb_kp,
-               Wb, Cb, Mb, centers):
+               Wb, Cb, Mb, centers, depth_s20=None):
     """One gradient evaluation on pre-banked WORLD points.
 
     Re-derives local coordinates from the current banked world positions
@@ -442,7 +442,8 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
          & (loc[..., 2] <= half) & (loc[..., 2] >= -half))
     Xb = jnp.where(m[..., None], loc, 0.0)
 
-    dX, ll = _density_grads_closed(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+    ds20 = cfg.depth_gp.s20 if depth_s20 is None else depth_s20
+    dX, ll = _density_grads_closed(depth_kp, ds20, comp.depth_gp,
                                    Xb, Xb[..., :1], m)
     dCX, cl = _density_grads_closed(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
                                     Xb, Cb, m, zero_y=True)
@@ -465,7 +466,8 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
 def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
              cfg: CompressorConfig,
              rcfg: RegistrationConfig = RegistrationConfig(),
-             init: RegistrationState = None):
+             init: RegistrationState = None,
+             depth_kp: RBFParams = None, depth_s20=None):
     """Full registration loop under lax.while_loop (add_cloud +
     registration_step until registration_done, src/gp_registration.cpp:60-92,
     gp_mapping::add_cloud loop src/gp_mapping.cpp:18-20).
@@ -495,6 +497,9 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     P = cfg.patch.max_points_per_patch
     centers = voxel.voxel_centers(batch.grid)[:B]
     dkp, ckp = default_params(cfg)
+    # registering against a CALIBRATED map needs its hyperparameters: the
+    # density field the gradients walk is defined by (kp, s20)
+    dkp = dkp if depth_kp is None else depth_kp
 
     def rebank(pts):
         claim, _, claimed = _claim_to_map(comp, pts, scan_valid, cfg,
@@ -527,9 +532,17 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
             lambda args: rebank(args[0]), lambda args: args[1:],
             (pts, Wb, Cb, Mb))
         delta, ls, cls, _ = _bank_step(comp, cfg, rcfg, dkp, ckp,
-                                       Wb, Cb, Mb, centers)
-        R = transforms.euler_xyz(rcfg.step * delta[3:])
-        t = rcfg.step * delta[:3]
+                                       Wb, Cb, Mb, centers,
+                                       depth_s20=depth_s20)
+        tv = rcfg.step * delta[:3]
+        wv = rcfg.step * delta[3:]
+        if rcfg.max_motion is not None:
+            cap = jnp.asarray(rcfg.max_motion, tv.dtype)
+            tiny = jnp.asarray(1e-30, tv.dtype)
+            tv = tv * jnp.minimum(1.0, cap / (jnp.linalg.norm(tv) + tiny))
+            wv = wv * jnp.minimum(1.0, cap / (jnp.linalg.norm(wv) + tiny))
+        R = transforms.euler_xyz(wv)
+        t = tv
         new = RegistrationState(
             R_cloud=R @ st.R_cloud, t_cloud=st.t_cloud + t, delta=delta,
             step_nbr=st.step_nbr + 1, mean_likelihood=ls,
