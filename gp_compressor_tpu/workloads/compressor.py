@@ -258,8 +258,13 @@ def calib_subsample(batch: patches_mod.PatchBatch, n_patches: int,
     order = jnp.argsort(~mb, axis=1, stable=True)         # valid first [B, P]
     cnt = jnp.sum(mb, axis=1).astype(jnp.int32)           # [B]
     j = jnp.arange(n_points, dtype=jnp.int32)             # [n]
-    pos = jnp.minimum((j[None, :] * jnp.maximum(cnt, 1)[:, None])
-                      // n_points, jnp.maximum(cnt - 1, 0)[:, None])
+    # stride only when the patch has MORE than n points; otherwise take
+    # the compacted prefix as-is (the strided formula would select
+    # duplicates and skip points when cnt < n)
+    strided = jnp.minimum((j[None, :] * jnp.maximum(cnt, 1)[:, None])
+                          // n_points, jnp.maximum(cnt - 1, 0)[:, None])
+    pos = jnp.where(cnt[:, None] > n_points, strided,
+                    jnp.minimum(j[None, :], order.shape[1] - 1))
     sel = jnp.take_along_axis(order, pos, axis=1)         # [B, n]
     X = jnp.take_along_axis(Xb, sel[:, :, None], axis=1)
     y = jnp.take_along_axis(yb, sel, axis=1)
