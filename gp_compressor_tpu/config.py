@@ -146,6 +146,26 @@ class RegistrationConfig:
     # cannot silently leave stale assignments for long. The claims pass is
     # ~95% of a step's device time (PARITY.md divergence 10).
     reclaim_every: int = 4
+    step_mode: str = "fixed"
+    # "fixed": the reference's constant-step gradient ascent
+    # (src/gp_registration.cpp:214-215) with the optional max_motion trust
+    # region above.
+    # "rprop": sign-based iRprop- per-twist-axis steps. The density
+    # gradient's magnitude spans ~200x between the reference-constant and
+    # the calibrated (sharp, l~4 cm) fields, so any fixed step either
+    # crawls or ping-pongs at the trust-region radius (measured at bench
+    # scale: cap 0.002 oscillates +-2 mm forever around an optimum it
+    # reached in 2 steps). iRprop- carries a per-axis motion size eta[6]
+    # (init rprop_eta0, clipped to [rprop_eta_min, rprop_eta_max]),
+    # moves eta*sign(delta), grows eta by 1.2 while the gradient sign
+    # holds, halves it and skips the axis on a sign flip. Scale-free in
+    # the gradient magnitude; converges geometrically once inside the
+    # basin. Stops when every eta < rprop_tol (a motion tolerance in
+    # m/rad — scale-free counterpart of the reference's grad_tol).
+    rprop_eta0: float = 1e-3
+    rprop_eta_min: float = 1e-6
+    rprop_eta_max: float = 4e-3
+    rprop_tol: float = 2e-5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -537,7 +537,8 @@ def reproject_raster(batch: RasterBatch, depth: jnp.ndarray,
     B, G = depth.shape
     local = jnp.concatenate(
         [depth[..., None], jnp.broadcast_to(grid_uv, (B, G, 2))], axis=-1)
-    return jnp.einsum('bij,bgj->bgi', batch.rotations, local) + batch.means[:, None, :]
+    return jnp.einsum('bij,bgj->bgi', batch.rotations, local,
+                      precision=jax.lax.Precision.HIGHEST) + batch.means[:, None, :]
 
 
 def reproject(batch: PatchBatch, depth: jnp.ndarray, grid_uv: jnp.ndarray):
@@ -548,4 +549,5 @@ def reproject(batch: PatchBatch, depth: jnp.ndarray, grid_uv: jnp.ndarray):
     B, G = depth.shape
     local = jnp.concatenate(
         [depth[..., None], jnp.broadcast_to(grid_uv, (B, G, 2))], axis=-1)
-    return jnp.einsum('bij,bgj->bgi', batch.rotations, local) + batch.means[:, None, :]
+    return jnp.einsum('bij,bgj->bgi', batch.rotations, local,
+                      precision=jax.lax.Precision.HIGHEST) + batch.means[:, None, :]

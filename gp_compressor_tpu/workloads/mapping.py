@@ -264,7 +264,8 @@ def map_insert(state: MapState, points, colors, valid,
     pend_valid = (jnp.arange(Pp)[None, :] < state.pend_count[:, None]) \
         & becomes[:, None]                                        # [B, Pp]
     pend_rel = state.pend_pts - mean_eff[:, None, :]
-    pend_loc = jnp.einsum('bji,bpj->bpi', rot_eff, pend_rel)      # R^T rel
+    pend_loc = jnp.einsum('bji,bpj->bpi', rot_eff, pend_rel,      # R^T rel
+                          precision=jax.lax.Precision.HIGHEST)
     pend_clip = ((jnp.abs(pend_loc[..., 1]) <= half)
                  & (jnp.abs(pend_loc[..., 2]) <= half) & pend_valid)
 
@@ -660,7 +661,9 @@ def add_cloud_fused(state: MapState, points, colors, valid,
 
         rstate, pts = jax.lax.cond(has_map, do_reg, no_reg, None)
         state = state._replace(
-            R_cloud=jnp.where(has_map, rstate.R_cloud @ state.R_cloud,
+            R_cloud=jnp.where(has_map,
+                              transforms.matmul3(rstate.R_cloud,
+                                                 state.R_cloud),
                               state.R_cloud),
             t_cloud=jnp.where(has_map, state.t_cloud + rstate.t_cloud,
                               state.t_cloud))
@@ -824,7 +827,7 @@ def smc_refine_pose(state: MapState, points, colors, valid,
         R, t = smc_mod.pose_matrices(poses)
 
         def one(Rp, tp):
-            moved = pts_s @ Rp.T + tp
+            moved = transforms.apply(pts_s, Rp, tp)
             claim, loc, claimed = registration.claim_to_patches(
                 comp.patch.grid, comp.patch.rotations, comp.patch.means,
                 trained, moved, val_s, cfg.patch.res)
@@ -873,7 +876,8 @@ def map_cloud(state: MapState, cfg: CompressorConfig):
                                        jnp.broadcast_to(grid_uv, (B, G, 2)))
     local = jnp.concatenate([dmean, jnp.broadcast_to(grid_uv, (B, G, 2))],
                             axis=-1)
-    world = jnp.einsum('bij,bgj->bgi', state.rotations, local) \
+    world = jnp.einsum('bij,bgj->bgi', state.rotations, local,
+                       precision=jax.lax.Precision.HIGHEST) \
         + state.means[:, None, :]
     colors = jnp.clip(jnp.where(jnp.isfinite(cmean + state.rgb_means[:, None, :]),
                                 cmean + state.rgb_means[:, None, :], 255.0),

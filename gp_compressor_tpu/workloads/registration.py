@@ -222,7 +222,8 @@ def claim_to_patches(grid, rotations, means, trained, points, valid, res,
         ok = ok & trained[gid]
         Rk = rotations[gid]
         rel = points - means[gid]
-        loc = jnp.einsum('nji,nj->ni', Rk, rel)
+        loc = jnp.einsum('nji,nj->ni', Rk, rel,
+                         precision=jax.lax.Precision.HIGHEST)
         clip_ok = ((loc[:, 1] <= half) & (loc[:, 1] >= -half)
                    & (loc[:, 2] <= half) & (loc[:, 2] >= -half))
         better = ok & clip_ok & (idx < best)
@@ -401,12 +402,14 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
     # rotate gradients to world: g_world = R g_local (dX *= R^T, :204)
-    gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX)
+    gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX,
+                    precision=jax.lax.Precision.HIGHEST)
     # world positions; twist chain g^T J with J = [I | -[x]_x]
     # (src/gp_registration.cpp:40-49) in closed form: g^T(-[x]_x) = x x g,
     # so contrib = [g, x x g] — no [B, P, 3, 6] Jacobian materialisation
     # (~1 GB of HBM traffic per step at bench scale)
-    pw = jnp.einsum('bij,bpj->bpi', batch.rotations, Xb) + batch.means[:, None, :]
+    pw = jnp.einsum('bij,bpj->bpi', batch.rotations, Xb,
+                    precision=jax.lax.Precision.HIGHEST) + batch.means[:, None, :]
     contrib = jnp.concatenate([gw, jnp.cross(pw, gw)], axis=-1)  # [B,P,6]
     n_used = jnp.maximum(jnp.sum(Mb), 1)
     delta = jnp.sum(jnp.where(Mb[..., None], contrib, 0.0), axis=(0, 1)) / n_used
@@ -435,7 +438,8 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
     r2 = (voxel.SQRT3_2 * res) ** 2
 
     rel = Wb - batch.means[:, None, :]
-    loc = jnp.einsum('bji,bpj->bpi', batch.rotations, rel)      # R^T rel
+    loc = jnp.einsum('bji,bpj->bpi', batch.rotations, rel,      # R^T rel
+                     precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.sum((Wb - centers[:, None, :]) ** 2, axis=-1)
     m = (Mb & (d2 <= r2)
          & (loc[..., 1] <= half) & (loc[..., 1] >= -half)
@@ -450,7 +454,8 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
     a = rcfg.color_blend
     dX = a * dX + (1.0 - a) * dCX                   # :198-199
 
-    gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX)
+    gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX,
+                    precision=jax.lax.Precision.HIGHEST)
     # closed-form twist chain: contrib = [g, x x g] (see
     # compute_transformation) — avoids the [B, P, 3, 6] Jacobian
     contrib = jnp.concatenate([gw, jnp.cross(Wb, gw)], axis=-1)  # [B,P,6]
@@ -518,15 +523,18 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
         tol = rcfg.grad_tol
 
     def cond(carry):
-        st = carry[0]
+        st, eta = carry[0], carry[5]
+        if rcfg.step_mode == "rprop":
+            conv = jnp.all(eta < rcfg.rprop_tol)
+        else:
+            conv = (jnp.linalg.norm(st.delta[:3]) < tol) \
+                & (jnp.linalg.norm(st.delta[3:]) < tol)
         done = (st.step_nbr > rcfg.min_steps) & (
-            (st.step_nbr >= rcfg.max_steps)
-            | ((jnp.linalg.norm(st.delta[:3]) < tol)
-               & (jnp.linalg.norm(st.delta[3:]) < tol)))
+            (st.step_nbr >= rcfg.max_steps) | conv)
         return ~done
 
     def body(carry):
-        st, pts, Wb, Cb, Mb = carry
+        st, pts, Wb, Cb, Mb, eta = carry
         Wb, Cb, Mb = lax.cond(
             (st.step_nbr - init_step) % rcfg.reclaim_every == 0,
             lambda args: rebank(args[0]), lambda args: args[1:],
@@ -534,24 +542,37 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
         delta, ls, cls, _ = _bank_step(comp, cfg, rcfg, dkp, ckp,
                                        Wb, Cb, Mb, centers,
                                        depth_s20=depth_s20)
-        tv = rcfg.step * delta[:3]
-        wv = rcfg.step * delta[3:]
-        if rcfg.max_motion is not None:
-            cap = jnp.asarray(rcfg.max_motion, tv.dtype)
-            tiny = jnp.asarray(1e-30, tv.dtype)
-            tv = tv * jnp.minimum(1.0, cap / (jnp.linalg.norm(tv) + tiny))
-            wv = wv * jnp.minimum(1.0, cap / (jnp.linalg.norm(wv) + tiny))
+        if rcfg.step_mode == "rprop":
+            # iRprop- on the twist: per-axis motion eta * sign(delta),
+            # grow 1.2x while the gradient sign holds, halve and skip the
+            # axis on a flip (prev delta rides st.delta; a zeroed prev
+            # counts as "holds" so fresh axes move immediately)
+            flip = delta * st.delta < 0
+            eta = jnp.clip(jnp.where(flip, 0.5 * eta, 1.2 * eta),
+                           rcfg.rprop_eta_min, rcfg.rprop_eta_max)
+            move = jnp.where(flip, 0.0, jnp.sign(delta)) * eta
+            tv, wv = move[:3], move[3:]
+            delta = jnp.where(flip, 0.0, delta)
+        else:
+            tv = rcfg.step * delta[:3]
+            wv = rcfg.step * delta[3:]
+            if rcfg.max_motion is not None:
+                cap = jnp.asarray(rcfg.max_motion, tv.dtype)
+                tiny = jnp.asarray(1e-30, tv.dtype)
+                tv = tv * jnp.minimum(1.0, cap / (jnp.linalg.norm(tv) + tiny))
+                wv = wv * jnp.minimum(1.0, cap / (jnp.linalg.norm(wv) + tiny))
         R = transforms.euler_xyz(wv)
         t = tv
         new = RegistrationState(
-            R_cloud=R @ st.R_cloud, t_cloud=st.t_cloud + t, delta=delta,
+            R_cloud=transforms.matmul3(R, st.R_cloud), t_cloud=st.t_cloud + t, delta=delta,
             step_nbr=st.step_nbr + 1, mean_likelihood=ls,
             mean_color_likelihood=cls)
         return (new, transforms.apply(pts, R, t),
-                transforms.apply(Wb, R, t), Cb, Mb)
+                transforms.apply(Wb, R, t), Cb, Mb, eta)
 
+    eta0 = jnp.full((6,), rcfg.rprop_eta0, dt)
     carry0 = (state, pts0, jnp.zeros((B, P, 3), dt), jnp.zeros((B, P, 3), dt),
-              jnp.zeros((B, P), bool))
+              jnp.zeros((B, P), bool), eta0)
     state, pts = lax.while_loop(cond, body, carry0)[:2]
     return state, pts
 
@@ -560,7 +581,8 @@ def registration_error(R_est, t_est, R_true, t_true):
     """Translation / rotation error metrics (test_gp_accuracy,
     src/test_gp_accuracy.cpp:158-181): the registration recovers the
     inverse of the applied perturbation."""
-    dR = R_est @ R_true
-    t_err = jnp.linalg.norm(R_est @ t_true + t_est)
+    dR = transforms.matmul3(R_est, R_true)
+    t_err = jnp.linalg.norm(jnp.matmul(R_est, t_true,
+        precision=jax.lax.Precision.HIGHEST) + t_est)
     r_err = transforms.rotation_angle(dR)
     return t_err, r_err

@@ -276,3 +276,35 @@ def test_icp_baseline_recovers_transform():
     err1 = np.linalg.norm(aligned - spts_np, axis=1).mean()
     assert int(res.n_matched) > 1000
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_registration_rprop_converges_and_stops():
+    """iRprop- step mode (RegistrationConfig.step_mode="rprop"): must
+    recover a known perturbation at least as well as the fixed-step rule,
+    damp its own oscillation (motion tolerance stop before max_steps), and
+    not walk away on an already-aligned scan."""
+    (mpts, mcols), (spts_np, scols_np) = _map_and_scan()
+    comp = compressor.compress(mpts, mcols, jnp.ones(mpts.shape[0], bool),
+                               CFG, jax.random.key(0))
+    spts_t, _ = synthetic.rigid_transform(spts_np, [0.00, 0.01, -0.008],
+                                          [0.02, -0.015, 0.01])
+    spts = jnp.asarray(spts_t, jnp.float64)
+    scols = jnp.asarray(scols_np, jnp.float64)
+
+    rcfg = RegistrationConfig(max_steps=150, step_mode="rprop",
+                              rprop_eta0=2e-3)
+    state, aligned = registration.register(
+        comp, spts, scols, jnp.ones(spts.shape[0], bool), CFG, rcfg)
+    err0 = np.linalg.norm(spts_t - spts_np, axis=1).mean()
+    err1 = np.linalg.norm(np.asarray(aligned) - spts_np, axis=1).mean()
+    assert err1 < 0.5 * err0, (err0, err1)
+    # the eta-shrink stop must fire before the step cap
+    assert int(state.step_nbr) < 150, int(state.step_nbr)
+
+    # identity: rprop's first moves are eta0-sized regardless of gradient
+    # magnitude, so the flip rule must damp them back to no net drift
+    state2, aligned2 = registration.register(
+        comp, jnp.asarray(spts_np, jnp.float64), scols,
+        jnp.ones(spts_np.shape[0], bool), CFG, rcfg)
+    drift = np.linalg.norm(np.asarray(aligned2) - spts_np, axis=1).mean()
+    assert drift < 0.02, drift
