@@ -232,11 +232,8 @@ def hmc_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
                           n_leapfrog: int = 16):
     """Single-chain HMC: dual-averaging warmup then fixed-step sampling.
     Returns (samples [num_samples, dim], accept_rate, final_step)."""
-    lp_and_grad = jax.value_and_grad(logpost)
-
-    def lg(th):
-        v, g = lp_and_grad(th)
-        return v, g
+    from gp_compressor_tpu.inference.nuts import _safe_vag
+    lg = _safe_vag(logpost)   # -inf/0 on non-finite (see nuts._safe_vag)
 
     dim = theta0.shape[0]
     lp0, g0 = lg(theta0)
