@@ -442,26 +442,50 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
 
     lo = np.asarray(jnp.min(pts, 0)) - 0.3
     hi = np.asarray(jnp.max(pts, 0)) + 0.3
-    steps = mapping.required_ray_steps(lo, hi, cfg.patch.res)
-    # registration here is a fixed 12-step per-scan polish BUDGET on an
-    # already-tracked stream — cap hits are routine, not divergence, so
+    # carve cap: 99th-percentile camera->point distance instead of the
+    # world-box diagonal (73 steps) — rays longer than the cap just skip
+    # their far free-space tail, the least valuable evidence
+    p99 = float(np.percentile(np.linalg.norm(np.asarray(pts), axis=1), 99))
+    steps = min(mapping.required_ray_steps(lo, hi, cfg.patch.res),
+                int(1.2 * p99 / cfg.patch.res) + 2)
+    # registration here is a fixed per-scan polish BUDGET on an already-
+    # tracked stream — cap hits are routine, not divergence, so
     # drop_on_reg_cap=False (measured: the default dropped 3 of 4 scans
-    # and left the map at 0.157 m chamfer RMSE)
+    # and left the map at 0.157 m chamfer RMSE). reg_stride 4: the polish
+    # registers a 37k subsample with proportionally smaller banks.
     mcfg = MappingConfig(min_points_new_patch=50, max_ray_steps=steps,
-                         carve_stride=4, drop_on_reg_cap=False)
-    rcfg = RegistrationConfig(max_steps=12, min_steps=2, step=0.02)
+                         carve_stride=4, drop_on_reg_cap=False,
+                         reg_stride=4)
+    # CALIBRATED mapping (r3): hyperparameters are MAP-fit once on the
+    # seed scan, then the whole stream — registration density field,
+    # incremental training, sanitation, prediction — runs on that ONE
+    # consistent set. At the reference constants the l = 1 m density
+    # field's optimum sits ~1.5 cm off the true pose, so every per-scan
+    # polish SMEARED the map (measured map chamfer RMSE 0.08-0.09 m);
+    # the calibrated sharp field with iRprop- polish registers unperturbed
+    # scans to mm drift.
+    from gp_compressor_tpu.workloads import compressor as compressor_mod
+    rcfg = RegistrationConfig(max_steps=10, min_steps=2, step_mode="rprop",
+                              bank_points=96)
     state = mapping.map_init(cfg, mcfg, lo, hi, dtype=pts.dtype)
 
     n_scans, Ns = 4, 150_000
     scans = [(pts[i::2][:Ns], cols[i::2][:Ns], valid[i::2][:Ns])
              for i in (0, 1)]
 
+    _, kpc, s20c, _ = compressor_mod.compress_decompress_calibrated(
+        *scans[0], cfg, jax.random.key(5), use_pallas=use_pallas,
+        calib_patches=32, calib_points=64, calib_steps=150,
+        calib_lr=0.1, calib_starts=4)
+    eps_c = cfg.depth_gp.eps_tol * kpc.sigmaf_sq / cfg.depth_gp.sigmaf_sq
+    calib = dict(depth_kp=kpc, depth_s20=s20c, depth_eps=eps_c)
+
     # seed the map with one scan, then fold the stream in ONE dispatch
     # (mapping.add_clouds): per-scan dispatch of the MapState pytree costs
     # ~0.8 s/scan in tunnel round trips on top of the device time
     state, _, _, _ = mapping.add_cloud_fused(state, *scans[0], cfg, mcfg,
                                              jax.random.key(0), rcfg=rcfg,
-                                             use_pallas=use_pallas)
+                                             use_pallas=use_pallas, **calib)
     _sync(state.means)
     SP = jnp.stack([scans[(1 + s) % 2][0] for s in range(n_scans)])
     SC = jnp.stack([scans[(1 + s) % 2][1] for s in range(n_scans)])
@@ -469,12 +493,12 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
 
     state2, diverged, reg_steps, info = mapping.add_clouds(
         state, SP, SC, SV, cfg, mcfg, jax.random.key(1), rcfg=rcfg,
-        use_pallas=use_pallas)                            # compile
+        use_pallas=use_pallas, **calib)                   # compile
     _sync(state2.means)
     t0 = time.perf_counter()
     state2, diverged, reg_steps, info = mapping.add_clouds(
         state, SP, SC, SV, cfg, mcfg, jax.random.key(2), rcfg=rcfg,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, **calib)
     _sync(state2.means)
     wall = time.perf_counter() - t0
 
@@ -482,7 +506,8 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
     # from the predicted map cloud to the observed scan points. Outside the
     # timed window; a corner-cut map (diverged patches, dropped evidence)
     # shows up directly here.
-    mpts, _, mok = mapping.map_cloud(state2, cfg)
+    mpts, _, mok = mapping.map_cloud(state2, cfg, depth_kp=kpc,
+                                     depth_s20=s20c)
     mp = np.asarray(mpts)[np.asarray(mok)]
     finite = np.isfinite(mp).all(axis=1)
     n_nonfinite = int((~finite).sum())

@@ -166,6 +166,12 @@ class RegistrationConfig:
     rprop_eta_min: float = 1e-6
     rprop_eta_max: float = 4e-3
     rprop_tol: float = 2e-5
+    bank_points: Optional[int] = None
+    # Per-patch registration bank capacity override. The gradient step's
+    # cost is O(max_patches * bank_points) BANK SLOTS regardless of scan
+    # size; mapping's per-scan polish registers a strided scan subsample
+    # (MappingConfig.reg_stride), so its banks can be proportionally
+    # smaller. None = the compressor's max_points_per_patch.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,6 +195,13 @@ class MappingConfig:
     # discard most scans (measured: 3 of 4 bench scans dropped, map
     # chamfer RMSE 0.157 m). False = always insert; registration caps act
     # as a compute budget, not a divergence test.
+    reg_stride: int = 1
+    # Register every k-th scan point (the INSERT still consumes the full
+    # scan). The registration delta is a mean over the scan; on a 150k
+    # scan a 4x subsample leaves the mean's direction statistically
+    # unchanged while shrinking the claims/rebank passes AND (with
+    # RegistrationConfig.bank_points) the per-step bank by ~4x. 1 =
+    # register the full scan (reference cadence).
 
 
 @dataclasses.dataclass(frozen=True)

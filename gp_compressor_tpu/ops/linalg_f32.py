@@ -29,10 +29,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+_HI = jax.lax.Precision.HIGHEST
 
-def cholesky(K: jnp.ndarray) -> jnp.ndarray:
-    """Lower Cholesky of a symmetric positive-definite [n, n] matrix by the
-    right-looking rank-1 algorithm. NaN-propagating on indefinite input."""
+# All three routines carry CLOSED-FORM custom VJPs (Murray 2016, "Differen-
+# tiation of the Cholesky decomposition", and the standard triangular-solve
+# adjoints). Without them, reverse AD of the fori_loop forward unrolls an
+# n-step backward pass that stashes the full [n, n] iterate per step —
+# ~n^3 floats of HBM residual traffic and another n sequential micro-steps
+# per solve, which dominated the MAP/NUTS wall on the latency-bound TPU
+# path. The adjoints below reuse the SAME elementwise solves (so they stay
+# bf16-free) plus explicit HIGHEST-precision matmuls (JAX-level dots honor
+# `precision`; only backend-default dots and HLO-internal expansions are
+# stuck at bf16).
+
+
+def _chol_impl(K: jnp.ndarray) -> jnp.ndarray:
     n = K.shape[-1]
     ii = jnp.arange(n)
 
@@ -48,8 +59,7 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
     return jnp.tril(L)
 
 
-def solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve L x = b by forward substitution. b: [n] or [n, k]."""
+def _solve_lower_impl(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     n = L.shape[0]
 
     def body(i, x):
@@ -60,8 +70,7 @@ def solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return lax.fori_loop(0, n, body, jnp.zeros_like(b))
 
 
-def solve_lower_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve L^T x = b by back substitution. b: [n] or [n, k]."""
+def _solve_lower_t_impl(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     n = L.shape[0]
 
     def body(t, x):
@@ -71,6 +80,77 @@ def solve_lower_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return x.at[i].set(xi)
 
     return lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+@jax.custom_vjp
+def cholesky(K: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky of a symmetric positive-definite [n, n] matrix by the
+    right-looking rank-1 algorithm. NaN-propagating on indefinite input."""
+    return _chol_impl(K)
+
+
+def _chol_fwd(K):
+    L = _chol_impl(K)
+    return L, L
+
+
+def _chol_bwd(L, Lbar):
+    # Kbar = 0.5 (S + S^T), S = L^-T Phi(L^T Lbar) L^-1,
+    # Phi = tril with halved diagonal
+    P = jnp.matmul(L.T, Lbar, precision=_HI)
+    P = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
+    Y = _solve_lower_t_impl(L, P)                     # L^T Y = P
+    S_t = _solve_lower_t_impl(L, Y.T)                 # S^T = L^-T Y^T
+    return (0.5 * (S_t + S_t.T),)
+
+
+cholesky.defvjp(_chol_fwd, _chol_bwd)
+
+
+@jax.custom_vjp
+def solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L x = b by forward substitution. b: [n] or [n, k]."""
+    return _solve_lower_impl(L, b)
+
+
+def _sl_fwd(L, b):
+    x = _solve_lower_impl(L, b)
+    return x, (L, x)
+
+
+def _sl_bwd(res, xbar):
+    L, x = res
+    bbar = _solve_lower_t_impl(L, xbar)               # L^T bbar = xbar
+    x2 = x if x.ndim == 2 else x[:, None]
+    b2 = bbar if bbar.ndim == 2 else bbar[:, None]
+    Lbar = -jnp.tril(jnp.matmul(b2, x2.T, precision=_HI))
+    return Lbar, bbar
+
+
+solve_lower.defvjp(_sl_fwd, _sl_bwd)
+
+
+@jax.custom_vjp
+def solve_lower_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = b by back substitution. b: [n] or [n, k]."""
+    return _solve_lower_t_impl(L, b)
+
+
+def _slt_fwd(L, b):
+    x = _solve_lower_t_impl(L, b)
+    return x, (L, x)
+
+
+def _slt_bwd(res, xbar):
+    L, x = res
+    bbar = _solve_lower_impl(L, xbar)                 # L bbar = xbar
+    x2 = x if x.ndim == 2 else x[:, None]
+    b2 = bbar if bbar.ndim == 2 else bbar[:, None]
+    Lbar = -jnp.tril(jnp.matmul(x2, b2.T, precision=_HI))
+    return Lbar, bbar
+
+
+solve_lower_t.defvjp(_slt_fwd, _slt_bwd)
 
 
 def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

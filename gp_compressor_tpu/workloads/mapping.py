@@ -144,7 +144,8 @@ def _linkey(state: MapState, res, points):
 @functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "use_pallas"))
 def map_insert(state: MapState, points, colors, valid,
                cfg: CompressorConfig, mcfg: MappingConfig,
-               key: jax.Array, min_nbr, use_pallas: bool = False) -> MapState:
+               key: jax.Array, min_nbr, use_pallas: bool = False,
+               depth_kp=None, depth_s20=None, depth_eps=None) -> MapState:
     """insert_into_map + train_processes (src/gp_mapping.cpp:37-152,293-343).
 
     `points` must already be in world/map coordinates (the caller applies
@@ -334,7 +335,14 @@ def map_insert(state: MapState, points, colors, valid,
     pend_ccols = state.pend_cols - cmn[:, None, :]
 
     dkp, ckp = default_params(cfg)
-    dnoise = GaussianNoise(s20=jnp.asarray(cfg.depth_gp.s20, dt))
+    # calibrated mapping: traced (kp, s20, eps) overrides ride the Pallas
+    # SMEM row / the XLA scan carries, exactly as in compressor.train —
+    # the map's density field, training, sanitation, and prediction all
+    # see ONE consistent set of hyperparameters
+    dkp = dkp if depth_kp is None else depth_kp
+    d_s20 = jnp.asarray(cfg.depth_gp.s20, dt) if depth_s20 is None \
+        else depth_s20
+    dnoise = GaussianNoise(s20=d_s20)
     cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20, dt))
     kd, kc = jax.random.split(key)
     if use_pallas:
@@ -351,7 +359,8 @@ def map_insert(state: MapState, points, colors, valid,
             Xs, Ys, Cs = take(X), take(Y), take(C)
             Ms = jnp.take_along_axis(M, perm, axis=1)
             d = sogp_train.add_points_batch_pallas(
-                dkp, cfg.depth_gp, states[0], Xs, Ys, Ms)
+                dkp, cfg.depth_gp, states[0], Xs, Ys, Ms,
+                s20=depth_s20, eps_tol=depth_eps)
             c = sogp_train.add_points_batch_pallas(
                 ckp, cfg.rgb_gp, states[1], Xs, Cs, Ms)
             return d, c
@@ -360,7 +369,7 @@ def map_insert(state: MapState, points, colors, valid,
             kd_, kc_ = jax.random.split(k)
             d = sparse_gp.add_points_batch(
                 dkp, dnoise, cfg.depth_gp, states[0], X, Y, M,
-                jax.random.split(kd_, B))
+                jax.random.split(kd_, B), eps_tol=depth_eps)
             c = sparse_gp.add_points_batch(
                 ckp, cnoise, cfg.rgb_gp, states[1], X, C, M,
                 jax.random.split(kc_, B))
@@ -379,7 +388,7 @@ def map_insert(state: MapState, points, colors, valid,
     # poison the map forever (map_cloud emitted NaN points before this)
     from gp_compressor_tpu.geometry.patches import prediction_grid
     probes = prediction_grid(cfg.patch, dt)[::5]
-    depth_gp, _ = sparse_gp.sanitize_batch(depth_gp, dkp, cfg.depth_gp.s20,
+    depth_gp, _ = sparse_gp.sanitize_batch(depth_gp, dkp, d_s20,
                                            max_pred=10.0 * cfg.patch.res,
                                            probes=probes)
     rgb_gp, _ = sparse_gp.sanitize_batch(rgb_gp, ckp, cfg.rgb_gp.s20,
@@ -634,7 +643,8 @@ def add_cloud_fused(state: MapState, points, colors, valid,
                     cfg: CompressorConfig, mcfg: MappingConfig,
                     key: jax.Array,
                     rcfg: RegistrationConfig = RegistrationConfig(),
-                    register_scan: bool = True, use_pallas: bool = False):
+                    register_scan: bool = True, use_pallas: bool = False,
+                    depth_kp=None, depth_s20=None, depth_eps=None):
     """gp_mapping::add_cloud as ONE jit (src/gp_mapping.cpp:12-35):
     transform by the accumulated pose, register to convergence, insert
     unless the 300-step cap was hit — the register->insert decision and
@@ -652,9 +662,18 @@ def add_cloud_fused(state: MapState, points, colors, valid,
     if register_scan:
         comp = _map_as_compressed(state, cfg)
         has_map = state.n_patches > 0
+        k = mcfg.reg_stride
 
         def do_reg(_):
-            return registration.register(comp, pts, colors, valid, cfg, rcfg)
+            # register a strided subsample, then carry the recovered pose
+            # onto the full scan (the state pose composes to the iterated
+            # transform to ~4e-5 m at bench motion scales — measured)
+            rstate, sub = registration.register(
+                comp, pts[::k], colors[::k], valid[::k], cfg, rcfg,
+                depth_kp=depth_kp, depth_s20=depth_s20)
+            moved = pts if k == 1 else transforms.apply(
+                pts, rstate.R_cloud, rstate.t_cloud)
+            return rstate, (sub if k == 1 else moved)
 
         def no_reg(_):
             return registration.init_state(dt), pts
@@ -679,7 +698,9 @@ def add_cloud_fused(state: MapState, points, colors, valid,
         diverged,
         lambda _: (state, zero_info),          # drop scan (:22-27)
         lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
-                             min_nbr, use_pallas=use_pallas),
+                             min_nbr, use_pallas=use_pallas,
+                             depth_kp=depth_kp, depth_s20=depth_s20,
+                             depth_eps=depth_eps),
         None)
     return state, diverged, reg_steps, info
 
@@ -689,7 +710,8 @@ def add_cloud_fused(state: MapState, points, colors, valid,
 def add_clouds(state: MapState, points, colors, valid,
                cfg: CompressorConfig, mcfg: MappingConfig, key: jax.Array,
                rcfg: RegistrationConfig = RegistrationConfig(),
-               use_pallas: bool = False):
+               use_pallas: bool = False,
+               depth_kp=None, depth_s20=None, depth_eps=None):
     """Streaming entry point: fold a BATCH of scans into the map under one
     `lax.scan` — a single device dispatch for the whole stream.
 
@@ -707,9 +729,9 @@ def add_clouds(state: MapState, points, colors, valid,
 
     def body(st, xs):
         p, c, v, k = xs
-        st, dvg, steps, info = add_cloud_fused(st, p, c, v, cfg, mcfg, k,
-                                               rcfg=rcfg,
-                                               use_pallas=use_pallas)
+        st, dvg, steps, info = add_cloud_fused(
+            st, p, c, v, cfg, mcfg, k, rcfg=rcfg, use_pallas=use_pallas,
+            depth_kp=depth_kp, depth_s20=depth_s20, depth_eps=depth_eps)
         return st, (dvg, steps, info)
 
     keys = jax.random.split(key, points.shape[0])
@@ -862,15 +884,18 @@ def smc_refine_pose(state: MapState, points, colors, valid,
     return (R[0], t[0]), st, jnp.stack(trace)
 
 
-def map_cloud(state: MapState, cfg: CompressorConfig):
+def map_cloud(state: MapState, cfg: CompressorConfig,
+              depth_kp=None, depth_s20=None):
     """Predict the full map as a cloud (load_compressed over the map banks)."""
     from gp_compressor_tpu.geometry import patches as patches_mod
 
     B = state.rotations.shape[0]
     G = cfg.patch.sz ** 2
     dkp, ckp = default_params(cfg)
+    dkp = dkp if depth_kp is None else depth_kp
+    d_s20 = cfg.depth_gp.s20 if depth_s20 is None else depth_s20
     grid_uv = patches_mod.prediction_grid(cfg.patch, state.means.dtype)
-    dmean, _ = sparse_gp.predict_batch(dkp, cfg.depth_gp.s20, state.depth_gp,
+    dmean, _ = sparse_gp.predict_batch(dkp, d_s20, state.depth_gp,
                                        jnp.broadcast_to(grid_uv, (B, G, 2)))
     cmean, _ = sparse_gp.predict_batch(ckp, cfg.rgb_gp.s20, state.rgb_gp,
                                        jnp.broadcast_to(grid_uv, (B, G, 2)))

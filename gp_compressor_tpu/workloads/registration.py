@@ -499,7 +499,10 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     tables = _map_claim_tables(comp)
     batch = comp.patch
     B = batch.rotations.shape[0]
-    P = cfg.patch.max_points_per_patch
+    # bank_points caps the per-patch registration bank: _bank_step's cost
+    # is O(B * P) bank slots independent of the scan size, so a subsampled
+    # polish (mapping's per-scan tracker) shrinks P along with the scan
+    P = rcfg.bank_points or cfg.patch.max_points_per_patch
     centers = voxel.voxel_centers(batch.grid)[:B]
     dkp, ckp = default_params(cfg)
     # registering against a CALIBRATED map needs its hyperparameters: the

@@ -70,3 +70,73 @@ def test_cholesky_gradient_matches_reference():
         ana = np.sum(g * dK)
         ref = 0.5 * np.trace(Kinv @ dK)
         np.testing.assert_allclose(ana, ref, rtol=2e-4, atol=1e-7)
+
+
+def test_closed_form_vjps_match_unrolled_ad():
+    """The custom VJPs (Murray closed-form Cholesky adjoint, triangular-
+    solve adjoints) must reproduce plain reverse AD through the fori_loop
+    implementations for an arbitrary scalar functional."""
+    n, k = 10, 3
+    K = jnp.asarray(_spd(n, seed=11))
+    r = np.random.default_rng(3)
+    b = jnp.asarray(r.standard_normal((n, k)))
+    w = jnp.asarray(r.standard_normal((n, k)))
+    wl = jnp.asarray(r.standard_normal((n, n)))
+
+    def with_custom(K, b):
+        L = linalg_f32.cholesky(K)
+        return (jnp.sum(wl * L)
+                + jnp.sum(w * linalg_f32.solve_lower(L, b))
+                + jnp.sum(w * linalg_f32.solve_lower_t(L, b))
+                + jnp.sum(w * linalg_f32.cho_solve(L, b)))
+
+    def with_unrolled(K, b):
+        L = linalg_f32._chol_impl(K)
+        return (jnp.sum(wl * L)
+                + jnp.sum(w * linalg_f32._solve_lower_impl(L, b))
+                + jnp.sum(w * linalg_f32._solve_lower_t_impl(L, b))
+                + jnp.sum(w * linalg_f32._solve_lower_t_impl(
+                    L, linalg_f32._solve_lower_impl(L, b))))
+
+    gK1, gb1 = jax.grad(with_custom, argnums=(0, 1))(K, b)
+    gK2, gb2 = jax.grad(with_unrolled, argnums=(0, 1))(K, b)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
+                               rtol=1e-6, atol=1e-9)
+    # the closed-form Cholesky adjoint returns the SYMMETRIZED gradient;
+    # unrolled AD through the algorithm feeds only tril(K). Compare their
+    # action on symmetric perturbations (the only ones a Gram sees).
+    g1 = np.asarray(gK1)
+    g2 = np.asarray(gK2)
+    for _ in range(3):
+        dK = np.random.default_rng(5).standard_normal((n, n))
+        dK = (dK + dK.T) / 2
+        np.testing.assert_allclose(np.sum(g1 * dK), np.sum(g2 * dK),
+                                   rtol=2e-5, atol=1e-8)
+
+
+def test_vjps_under_vmap():
+    """vmapped custom-VJP grads (the patch-bank shape) stay correct."""
+    B, n = 4, 8
+    Ks = jnp.stack([jnp.asarray(_spd(n, seed=20 + i)) for i in range(B)])
+    ys = jnp.asarray(np.random.default_rng(9).standard_normal((B, n)))
+
+    def nll(K, y):
+        L = linalg_f32.cholesky(K)
+        a = linalg_f32.cho_solve(L, y)
+        return jnp.sum(y * a) + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    def total(Ks, ys):
+        return jnp.sum(jax.vmap(nll)(Ks, ys))
+
+    def total_unrolled(Ks, ys):
+        def nll_u(K, y):
+            L = linalg_f32._chol_impl(K)
+            a = linalg_f32._solve_lower_t_impl(
+                L, linalg_f32._solve_lower_impl(L, y))
+            return jnp.sum(y * a) + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        return jnp.sum(jax.vmap(nll_u)(Ks, ys))
+
+    g1 = jax.grad(total, argnums=1)(Ks, ys)
+    g2 = jax.grad(total_unrolled, argnums=1)(Ks, ys)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-9)

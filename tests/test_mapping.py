@@ -282,3 +282,44 @@ def test_carve_free_space_matches_serial_oracle():
 
     agree = (got == want).mean()
     assert agree == 1.0, (agree, np.argwhere(got != want)[:10])
+
+
+def test_calibrated_mapping_consistent_params():
+    """Calibrated mapping: traced (kp, s20, eps) overrides must thread
+    through register -> insert/train -> sanitize -> map_cloud as ONE
+    consistent hyperparameter set, and an identical second scan registered
+    with the calibrated field must not degrade the map (the reference-
+    constants field's biased optimum smeared it — r3 bench finding)."""
+    from gp_compressor_tpu.config import RegistrationConfig
+    from gp_compressor_tpu.ops.kernels import RBFParams
+
+    state = _fresh_map()
+    pts, cols, valid = _cloud(6000, 11)
+    kpc = RBFParams(sigmaf_sq=jnp.asarray(2e-3, jnp.float64),
+                    l_sq=jnp.asarray(4e-3, jnp.float64))
+    s20c = jnp.asarray(3e-4, jnp.float64)
+    eps_c = CFG.depth_gp.eps_tol * kpc.sigmaf_sq / CFG.depth_gp.sigmaf_sq
+    calib = dict(depth_kp=kpc, depth_s20=s20c, depth_eps=eps_c)
+    rcfg = RegistrationConfig(max_steps=8, min_steps=2, step_mode="rprop",
+                              bank_points=64)
+    mcfg = MappingConfig(min_points_new_patch=40, max_ray_steps=48,
+                         drop_on_reg_cap=False, reg_stride=2)
+
+    state, dvg, steps, _ = mapping.add_cloud_fused(
+        state, pts, cols, valid, CFG, mcfg, jax.random.key(0), rcfg=rcfg,
+        **calib)
+    w1, _, ok1 = mapping.map_cloud(state, CFG, depth_kp=kpc, depth_s20=s20c)
+    state, dvg, steps, _ = mapping.add_cloud_fused(
+        state, pts, cols, valid, CFG, mcfg, jax.random.key(1), rcfg=rcfg,
+        **calib)
+    w2, _, ok2 = mapping.map_cloud(state, CFG, depth_kp=kpc, depth_s20=s20c)
+
+    ref = np.asarray(pts)
+    for w, ok in ((w1, ok1), (w2, ok2)):
+        w = np.asarray(w)[np.asarray(ok)]
+        assert np.isfinite(w).all()
+        # one-sided chamfer: every predicted map point near the scan
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(ref).query(w, k=1)
+        rmse = float(np.sqrt(np.mean(d ** 2)))
+        assert rmse < 0.08, rmse
