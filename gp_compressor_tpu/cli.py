@@ -36,7 +36,7 @@ def _gp_config(args):
 
     from gp_compressor_tpu.config import (CompressorConfig, GPConfig,
                                           KSVDConfig, PatchConfig,
-                                          rgb_gp_config)
+                                          rgb_gp_config, rgb_ksvd_config)
     return CompressorConfig(
         patch=PatchConfig(res=args.res, sz=args.sz,
                           max_patches=args.max_patches,
@@ -47,8 +47,8 @@ def _gp_config(args):
         rgb_gp=rgb_gp_config(slots=max(args.capacity + 1, 32),
                              capacity=args.capacity),
         ksvd=KSVDConfig(dict_size=args.dict_size, words_max=args.words_max),
-        rgb_ksvd=KSVDConfig(dict_size=args.rgb_dict_size,
-                            words_max=args.rgb_words_max),
+        rgb_ksvd=rgb_ksvd_config(dict_size=args.rgb_dict_size,
+                                 words_max=args.rgb_words_max),
     )
 
 

@@ -221,12 +221,12 @@ def map_insert(state: MapState, points, colors, valid,
     M_slot, cnt_slot = patches_mod.sphere_moments(grid, points, valid,
                                                   cfg.patch)
     slot_tgt = jnp.where(jnp.arange(B) < n_patches, leaf_ids, B)
-    M = jnp.zeros((B + 1, 4, 4), dt).at[slot_tgt].set(
+    M = jnp.zeros((B + 1, 4, 4), M_slot.dtype).at[slot_tgt].set(
         M_slot, mode='drop')[:B]
     sphere_counts = jnp.zeros((B + 1,), jnp.int32).at[slot_tgt].set(
         cnt_slot, mode='drop')[:B]
     R_fresh = rotation.rotation_from_moment_batch(
-        M, sphere_counts, cfg.patch.min_points_for_rotation)
+        M, sphere_counts, cfg.patch.min_points_for_rotation).astype(dt)
 
     centers_all = state.origin + (voxel.delinearize(
         jnp.minimum(leaf_keys, fill - 1), state.dims).astype(dt) + 0.5) * res
@@ -328,8 +328,13 @@ def map_insert(state: MapState, points, colors, valid,
     # under lax.cond — the steady state (tracked stream, no new patches)
     # pays for one [B, Pmax] train instead of one [B, Pmax + Pp].
     uv = loc_claim[:, 1:]
-    Xb, Yb, Cb, Mb = _bank_training_points(
-        claim, claimed, uv, d_train, c_train, B, Pmax)
+    Sp = mcfg.spill_bank
+    if Sp > 0:
+        Xb, Yb, Cb, Mb, (Xsp, Ysp, Csp, Msp) = _bank_training_points(
+            claim, claimed, uv, d_train, c_train, B, Pmax, spill=Sp)
+    else:
+        Xb, Yb, Cb, Mb = _bank_training_points(
+            claim, claimed, uv, d_train, c_train, B, Pmax)
     pend_uv = pend_loc[..., 1:]
     pend_depth = pend_loc[..., 0] - mn[:, None]
     pend_ccols = state.pend_cols - cmn[:, None, :]
@@ -344,7 +349,7 @@ def map_insert(state: MapState, points, colors, valid,
         else depth_s20
     dnoise = GaussianNoise(s20=d_s20)
     cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20, dt))
-    kd, kc = jax.random.split(key)
+    kd, kc, ksp = jax.random.split(key, 3)
     if use_pallas:
         from gp_compressor_tpu.pallas_kernels import sogp_train
 
@@ -377,6 +382,14 @@ def map_insert(state: MapState, points, colors, valid,
 
     depth_gp, rgb_gp = train_pair((state.depth_gp, state.rgb_gp),
                                   Xb, Yb, Cb, Mb, kd)
+    if Sp > 0:
+        # overflow points train in a second, narrow pass only on scans
+        # where some patch actually exceeded the main bank bound
+        depth_gp, rgb_gp = jax.lax.cond(
+            jnp.any(Msp),
+            lambda s: train_pair(s, Xsp, Ysp, Csp, Msp, ksp),
+            lambda s: s,
+            (depth_gp, rgb_gp))
     depth_gp, rgb_gp = jax.lax.cond(
         jnp.any(becomes),
         lambda s: train_pair(s, pend_uv, pend_depth[..., None], pend_ccols,
@@ -426,9 +439,10 @@ def map_insert(state: MapState, points, colors, valid,
     pend_count = jnp.minimum(pend_count + added, Pp)
 
     # ---- truncation counters (SURVEY §5 observability) -------------------
-    # claimed points beyond the [B, Pmax] bank bound never reach training
+    # claimed points beyond the main + spill bank bounds never reach
+    # training (with the default spill this is 0 in the bench regime)
     bank_dropped = jnp.sum(jnp.maximum(
-        cur_cnt.astype(jnp.int32) - Pmax, 0)).astype(jnp.int32)
+        cur_cnt.astype(jnp.int32) - (Pmax + Sp), 0)).astype(jnp.int32)
     # points that wanted a pending slot but the buffer was full
     pend_dropped = jnp.sum(store & ~okp).astype(jnp.int32)
     # new leaves that fell off the static max_patches budget
@@ -453,18 +467,37 @@ def map_insert(state: MapState, points, colors, valid,
         pend_cols=pend_cols, pend_count=pend_count), info
 
 
-def _bank_training_points(claim, claimed, uv, depth, cols, B, P):
-    """Bank via the claim-sorted window form (patches.sort_by_claim)."""
-    from gp_compressor_tpu.geometry.patches import bank_windows, sort_by_claim
+def _bank_training_points(claim, claimed, uv, depth, cols, B, P,
+                          spill: int = 0):
+    """Bank via the claim-sorted window form (patches.sort_by_claim).
+
+    spill > 0 additionally returns a second [B, spill] bank holding each
+    patch's claimed points with in-patch rank P..P+spill — the overflow
+    the [B, P] bound would otherwise silently drop (VERDICT r3 weak #3:
+    bank_dropped = 1784/stream). The spill bank is narrow and its training
+    pass is lax.cond-gated on any point actually spilling (map_insert).
+    Returns (Xb, Yb, Cb, Mb[, spill banks tuple])."""
+    from gp_compressor_tpu.geometry.patches import sort_by_claim
     (u_s, v_s, d_s, c0, c1, c2), starts = sort_by_claim(
         claim, claimed, (uv[:, 0], uv[:, 1], depth,
                          cols[:, 0], cols[:, 1], cols[:, 2]), B)
-    pos, Mb, _ = bank_windows(starts, B, P)
-    Xb = jnp.where(Mb[..., None], jnp.stack([u_s[pos], v_s[pos]], -1), 0.0)
-    Yb = jnp.where(Mb[..., None], d_s[pos][..., None], 0.0)
-    Cb = jnp.where(Mb[..., None],
-                   jnp.stack([c0[pos], c1[pos], c2[pos]], -1), 0.0)
-    return Xb, Yb, Cb, Mb
+
+    def window(rank0, width):
+        counts = starts[1:] - starts[:-1]
+        rk = rank0 + jnp.arange(width, dtype=jnp.int32)
+        m = rk[None, :] < jnp.minimum(counts, rank0 + width)[:, None]
+        N = jnp.maximum(starts[-1], 1)
+        pos = jnp.minimum(starts[:B, None] + rk[None, :], N - 1)
+        X = jnp.where(m[..., None], jnp.stack([u_s[pos], v_s[pos]], -1), 0.0)
+        Y = jnp.where(m[..., None], d_s[pos][..., None], 0.0)
+        C = jnp.where(m[..., None],
+                      jnp.stack([c0[pos], c1[pos], c2[pos]], -1), 0.0)
+        return X, Y, C, m
+
+    Xb, Yb, Cb, Mb = window(0, P)
+    if spill == 0:
+        return Xb, Yb, Cb, Mb
+    return Xb, Yb, Cb, Mb, window(P, spill)
 
 
 def required_ray_steps(world_min, world_max, res) -> int:
@@ -666,13 +699,16 @@ def add_cloud_fused(state: MapState, points, colors, valid,
 
         def do_reg(_):
             # register a strided subsample, then carry the recovered pose
-            # onto the full scan (the state pose composes to the iterated
-            # transform to ~4e-5 m at bench motion scales — measured)
+            # onto the full scan via the EXACTLY-composed translation
+            # (RegistrationState.t_exact): the plain-sum t_cloud differs
+            # from the iterated per-step transforms by O(|rot|*|trans|)
+            # per step, so the inserted cloud would drift from what
+            # registration converged on as per-scan motion grows.
             rstate, sub = registration.register(
                 comp, pts[::k], colors[::k], valid[::k], cfg, rcfg,
                 depth_kp=depth_kp, depth_s20=depth_s20)
             moved = pts if k == 1 else transforms.apply(
-                pts, rstate.R_cloud, rstate.t_cloud)
+                pts, rstate.R_cloud, rstate.t_exact)
             return rstate, (sub if k == 1 else moved)
 
         def no_reg(_):

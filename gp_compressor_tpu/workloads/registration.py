@@ -37,7 +37,15 @@ from gp_compressor_tpu.workloads.compressor import CompressedCloud, default_para
 
 class RegistrationState(NamedTuple):
     R_cloud: jnp.ndarray     # [3, 3] accumulated rotation
-    t_cloud: jnp.ndarray     # [3] accumulated translation
+    t_cloud: jnp.ndarray     # [3] accumulated translation — the reference's
+                             # plain per-step sum (t_cloud += t,
+                             # src/gp_registration.cpp:84)
+    t_exact: jnp.ndarray     # [3] exactly-composed translation
+                             # (t_exact <- R_k t_exact + t_k): applying
+                             # (R_cloud, t_exact) to the ORIGINAL scan
+                             # reproduces the iterated per-step transforms
+                             # bit-for-bit in exact arithmetic; the plain
+                             # sum differs by O(|rot|*|trans|) per step.
     delta: jnp.ndarray       # [6] last gradient (t, omega)
     step_nbr: jnp.ndarray    # int32
     mean_likelihood: jnp.ndarray
@@ -47,6 +55,7 @@ class RegistrationState(NamedTuple):
 def init_state(dtype=jnp.float32) -> RegistrationState:
     return RegistrationState(
         R_cloud=jnp.eye(3, dtype=dtype), t_cloud=jnp.zeros(3, dtype),
+        t_exact=jnp.zeros(3, dtype),
         delta=jnp.zeros(6, dtype), step_nbr=jnp.asarray(0, jnp.int32),
         mean_likelihood=jnp.asarray(0.0, dtype),
         mean_color_likelihood=jnp.asarray(0.0, dtype))
@@ -374,16 +383,37 @@ def _color_density_grads(kp: RBFParams, s20, states, Xb, Cb, mask):
     return jax.vmap(per_patch)(states, Xb, Cb, mask)
 
 
+def _blend_grads(rcfg: RegistrationConfig, dX, dCX, ll, cl):
+    """Combine depth and color density gradients.
+
+    "alpha" (default): dX = a*dX + (1-a)*dCX — the compiled-in reference
+    path (src/gp_registration.cpp:198-199, alpha = 1 => depth only).
+    "likelihood": the reference's COMPUTE_LIKELIHOOD variant
+    (src/gp_registration.cpp:191-196): per-point CROSS-weighting
+    dX = l * dCX + cl * dX — the depth likelihood l weights the COLOR
+    gradient and the color likelihood cl weights the DEPTH gradient,
+    exactly as written upstream (compiled out there; PARITY.md divergence
+    entry covers the cross-weighting)."""
+    if rcfg.blend_mode == "likelihood":
+        return ll[..., None] * dCX + cl[..., None] * dX
+    a = rcfg.color_blend
+    return a * dX + (1.0 - a) * dCX
+
+
 def compute_transformation(comp: CompressedCloud, points, colors, valid,
                            cfg: CompressorConfig, rcfg: RegistrationConfig,
-                           depth_kp=None, rgb_kp=None, tables=None):
+                           depth_kp=None, rgb_kp=None, tables=None,
+                           depth_s20=None):
     """One gradient evaluation (compute_transformation,
     src/gp_registration.cpp:115-246). Returns (delta [6], mean likelihood,
     mean color likelihood, n_points_used). `tables`: prebuilt ClaimTables
-    (loop-invariant — build once per register() call)."""
+    (loop-invariant — build once per register() call). depth_kp/depth_s20:
+    the map's (possibly calibrated) depth hyperparameters — the density
+    field the gradients walk."""
     dkp, ckp = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
     rgb_kp = rgb_kp if rgb_kp is not None else ckp
+    ds20 = cfg.depth_gp.s20 if depth_s20 is None else depth_s20
     batch = comp.patch
     B = batch.rotations.shape[0]
     P = cfg.patch.max_points_per_patch
@@ -394,12 +424,11 @@ def compute_transformation(comp: CompressedCloud, points, colors, valid,
     # demean colors per bank row (== per-point rgb_means[claim], :169-171)
     Cb = jnp.where(Mb[..., None], Cb - batch.rgb_means[:, None, :], 0.0)
 
-    dX, ll = _density_grads_closed(depth_kp, cfg.depth_gp.s20, comp.depth_gp,
+    dX, ll = _density_grads_closed(depth_kp, ds20, comp.depth_gp,
                                    Xb, Xb[..., :1], Mb)
     dCX, cl = _density_grads_closed(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
                                     Xb, Cb, Mb, zero_y=True)
-    a = rcfg.color_blend
-    dX = a * dX + (1.0 - a) * dCX                   # :198-199
+    dX = _blend_grads(rcfg, dX, dCX, ll, cl)
 
     # rotate gradients to world: g_world = R g_local (dX *= R^T, :204)
     gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX,
@@ -451,8 +480,7 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
                                    Xb, Xb[..., :1], m)
     dCX, cl = _density_grads_closed(rgb_kp, cfg.rgb_gp.s20, comp.rgb_gp,
                                     Xb, Cb, m, zero_y=True)
-    a = rcfg.color_blend
-    dX = a * dX + (1.0 - a) * dCX                   # :198-199
+    dX = _blend_grads(rcfg, dX, dCX, ll, cl)
 
     gw = jnp.einsum('bij,bpj->bpi', batch.rotations, dX,
                     precision=jax.lax.Precision.HIGHEST)
@@ -467,12 +495,12 @@ def _bank_step(comp: CompressedCloud, cfg: CompressorConfig,
     return delta, ls, cls, jnp.sum(m)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rcfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "rcfg", "mesh"))
 def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
              cfg: CompressorConfig,
              rcfg: RegistrationConfig = RegistrationConfig(),
              init: RegistrationState = None,
-             depth_kp: RBFParams = None, depth_s20=None):
+             depth_kp: RBFParams = None, depth_s20=None, mesh=None):
     """Full registration loop under lax.while_loop (add_cloud +
     registration_step until registration_done, src/gp_registration.cpp:60-92,
     gp_mapping::add_cloud loop src/gp_mapping.cpp:18-20).
@@ -485,9 +513,23 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     re-clipped against its claiming patch each step (see _bank_step).
     rcfg.reclaim_every=1 reproduces the reference's cadence exactly.
 
+    mesh: optional device mesh — the map's patch banks and the per-step
+    registration banks are constrained to the `data` axis, so every
+    gradient evaluation is patch-parallel and the [6] twist delta is one
+    psum over ICI per step (the reference's running mean into P,
+    src/gp_registration.cpp:214-215, as a mesh collective).
+
     Returns (state, transformed scan points).
     """
     dt = scan_points.dtype
+    if mesh is not None:
+        from gp_compressor_tpu.parallel import mesh as mesh_lib
+        from gp_compressor_tpu.workloads.compressor import _constrain_batch
+        Bm = comp.patch.mask.shape[0]
+        comp = comp._replace(
+            patch=_constrain_batch(comp.patch, mesh),
+            depth_gp=mesh_lib.constrain_leading(comp.depth_gp, mesh, Bm),
+            rgb_gp=mesh_lib.constrain_leading(comp.rgb_gp, mesh, Bm))
     state = init if init is not None else init_state(dt)
     # cadence is loop-local (steps since register() entry), so a resumed
     # state with step_nbr not a multiple of reclaim_every still banks on
@@ -515,6 +557,10 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
         Wb, Cb, Mb = _bank_points(claim, pts, scan_colors, claimed, B, P)
         # demean per bank row (== per-point rgb_means[claim], :169-171)
         Cb = jnp.where(Mb[..., None], Cb - batch.rgb_means[:, None, :], 0.0)
+        if mesh is not None:
+            from gp_compressor_tpu.parallel import mesh as mesh_lib
+            Wb, Cb, Mb = (mesh_lib.constrain_leading(a, mesh, B)
+                          for a in (Wb, Cb, Mb))
         return Wb, Cb, Mb
 
     # convergence threshold, optionally paired to the step size (config.py:
@@ -549,9 +595,14 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
             # iRprop- on the twist: per-axis motion eta * sign(delta),
             # grow 1.2x while the gradient sign holds, halve and skip the
             # axis on a flip (prev delta rides st.delta; a zeroed prev
-            # counts as "holds" so fresh axes move immediately)
+            # counts as "holds" so fresh axes move immediately). An axis
+            # with EXACTLY zero gradient (e.g. no map overlap — every bank
+            # slot masked) is treated as converged: its eta shrinks, so
+            # the all(eta < rprop_tol) stop can fire instead of the axis
+            # riding its sign-less eta up to eta_max forever.
             flip = delta * st.delta < 0
-            eta = jnp.clip(jnp.where(flip, 0.5 * eta, 1.2 * eta),
+            eta = jnp.clip(jnp.where(flip | (delta == 0.0),
+                                     0.5 * eta, 1.2 * eta),
                            rcfg.rprop_eta_min, rcfg.rprop_eta_max)
             move = jnp.where(flip, 0.0, jnp.sign(delta)) * eta
             tv, wv = move[:3], move[3:]
@@ -567,15 +618,23 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
         R = transforms.euler_xyz(wv)
         t = tv
         new = RegistrationState(
-            R_cloud=transforms.matmul3(R, st.R_cloud), t_cloud=st.t_cloud + t, delta=delta,
+            R_cloud=transforms.matmul3(R, st.R_cloud), t_cloud=st.t_cloud + t,
+            t_exact=jnp.matmul(R, st.t_exact,
+                               precision=jax.lax.Precision.HIGHEST) + t,
+            delta=delta,
             step_nbr=st.step_nbr + 1, mean_likelihood=ls,
             mean_color_likelihood=cls)
         return (new, transforms.apply(pts, R, t),
                 transforms.apply(Wb, R, t), Cb, Mb, eta)
 
     eta0 = jnp.full((6,), rcfg.rprop_eta0, dt)
-    carry0 = (state, pts0, jnp.zeros((B, P, 3), dt), jnp.zeros((B, P, 3), dt),
-              jnp.zeros((B, P), bool), eta0)
+    Wb0, Cb0, Mb0 = (jnp.zeros((B, P, 3), dt), jnp.zeros((B, P, 3), dt),
+                     jnp.zeros((B, P), bool))
+    if mesh is not None:
+        from gp_compressor_tpu.parallel import mesh as mesh_lib
+        Wb0, Cb0, Mb0 = (mesh_lib.constrain_leading(a, mesh, B)
+                         for a in (Wb0, Cb0, Mb0))
+    carry0 = (state, pts0, Wb0, Cb0, Mb0, eta0)
     state, pts = lax.while_loop(cond, body, carry0)[:2]
     return state, pts
 

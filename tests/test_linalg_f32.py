@@ -136,7 +136,18 @@ def test_vjps_under_vmap():
             return jnp.sum(y * a) + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
         return jnp.sum(jax.vmap(nll_u)(Ks, ys))
 
-    g1 = jax.grad(total, argnums=1)(Ks, ys)
-    g2 = jax.grad(total_unrolled, argnums=1)(Ks, ys)
+    gK1, g1 = jax.grad(total, argnums=(0, 1))(Ks, ys)
+    gK2, g2 = jax.grad(total_unrolled, argnums=(0, 1))(Ks, ys)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-6, atol=1e-9)
+    # K cotangent under vmap — the exact shape the NUTS/MAP patch-bank
+    # posterior differentiates. The closed-form adjoint symmetrizes while
+    # unrolled AD feeds only tril(K): compare the action on symmetric
+    # perturbations, as in test_closed_form_vjps_match_unrolled_ad.
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        dK = rng.standard_normal((B, n, n))
+        dK = (dK + dK.transpose(0, 2, 1)) / 2
+        np.testing.assert_allclose(np.sum(np.asarray(gK1) * dK),
+                                   np.sum(np.asarray(gK2) * dK),
+                                   rtol=2e-5, atol=1e-8)
