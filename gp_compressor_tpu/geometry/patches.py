@@ -222,7 +222,20 @@ def sphere_moments(grid: VoxelGrid, points: jnp.ndarray, valid: jnp.ndarray,
     res = grid.res
     offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                for dz in (-1, 0, 1)]
-    h = jnp.concatenate([points, jnp.ones((N, 1), dt)], axis=-1)        # [N,4]
+    # Accumulate the homogeneous moments in float64 where x64 is live.
+    # The 4x4 scatter matrix mixes |p|^2-scale entries (~10 m^2) with the
+    # plane signal at patch-variance scale (1e-4 m^2), so the small
+    # eigenpair amplifies summation rounding by ~1e3: f32 accumulation
+    # leaves plane normals reproducible only to ~1e-4 — and under a mesh,
+    # GSPMD's per-device partial sums change the grouping, so the SAME
+    # cloud yields different banks sharded vs single (caught by
+    # tests/test_parallel.py sharded-parity). f64 accumulation puts the
+    # grouping jitter ~6 decades below f32 resolution, making the cast
+    # rotations bit-stable across shardings. On TPU (x64 off) this is a
+    # no-op: single-chip f32 scatter order is deterministic.
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    pts_acc = points.astype(acc_dt)
+    h = jnp.concatenate([pts_acc, jnp.ones((N, 1), acc_dt)], axis=-1)   # [N,4]
     hh = h[:, jnp.asarray(_SYM_I)] * h[:, jnp.asarray(_SYM_J)]          # [N,10]
     if cfg.approx_sphere_moments:
         # Octant-resolution sphere approximation: ONE scatter accumulates
@@ -254,7 +267,7 @@ def sphere_moments(grid: VoxelGrid, points: jnp.ndarray, valid: jnp.ndarray,
             d = _np.asarray(off, float)[None, :] + octc
             include[ko] = _np.linalg.norm(d, axis=1) <= voxel.SQRT3_2
         leaf3 = voxel.delinearize(jnp.minimum(grid.keys, 2 ** 30), grid.dims)
-        M = jnp.zeros((B, 10), dt)
+        M = jnp.zeros((B, 10), acc_dt)
         for ko, off in enumerate(offsets):
             sel = include[ko]
             if not sel.any():
@@ -267,7 +280,7 @@ def sphere_moments(grid: VoxelGrid, points: jnp.ndarray, valid: jnp.ndarray,
         M = _sym10_to_44(M)
         sphere_counts = M[:, 3, 3].astype(jnp.int32)
     else:
-        M = jnp.zeros((B, 10), dt)
+        M = jnp.zeros((B, 10), acc_dt)
         sphere_counts = jnp.zeros((B,), jnp.int32)
         for off in offsets:
             idx, ok, _ = voxel.candidate_at_offset(grid, points, valid, off)
@@ -297,8 +310,10 @@ def claim_points(points: jnp.ndarray, valid: jnp.ndarray, cfg: PatchConfig):
 
     grid = voxel.build_grid(points, valid, cfg.res, B, cfg.max_cells)
     M, sphere_counts = sphere_moments(grid, points, valid, cfg)
-    R = rotation.rotation_from_moment_batch(M, sphere_counts,
-                                            cfg.min_points_for_rotation)
+    # the plane solve runs at the (possibly f64) accumulation dtype — see
+    # sphere_moments — and the frames come back at the cloud dtype
+    R = rotation.rotation_from_moment_batch(
+        M, sphere_counts, cfg.min_points_for_rotation).astype(dt)
 
     # ---- pass 2: claiming. Local coords of each point in each candidate
     # frame; clip to the voxel footprint (src/gp_compressor.cpp:84-86).

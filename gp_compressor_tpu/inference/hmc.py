@@ -68,22 +68,31 @@ def gp_marginal_loglik(theta: jnp.ndarray, X: jnp.ndarray, y: jnp.ndarray,
     # CPU mixed at 0.92/1.08. The elementwise-only routines are exactly
     # reproducible across backends, forward and backward.
     #
-    # double-where safe Cholesky: when a sampler proposal wanders to a
-    # numerically singular (sigmaf, l) the factorization goes NaN — and a
-    # plain `where(bad, -inf, ll)` still back-propagates NaN through the
-    # DEAD branch (0 * NaN in the cholesky vjp). Refactor a safe primal so
-    # both value AND gradient are clean; the -inf value rejects the move.
-    L_try = linalg_f32.cholesky(K)
-    bad = ~jnp.all(jnp.isfinite(L_try))
+    # Safe Cholesky WITHOUT a trial factorization: a proposal only breaks
+    # the f32 factorization when the Gram's condition number nears 1/eps,
+    # and K = sigmaf^2 C + s20_eff I with PSD C, ||C||_2 <= n bounds it a
+    # priori: cond <= 1 + n sigmaf^2 / s20_eff. Gating on that bound
+    # replaces the old factor-twice double-where (an L_try pass existed
+    # purely to DETECT NaN) with one factorization — the gate is exact
+    # arithmetic in theta, so value AND gradient stay clean, and with the
+    # relative noise floor the bound keeps every floored proposal ~8x
+    # below the f32 breakdown (n/floor = 6.4e5 vs 2e6 threshold), i.e. the
+    # reject branch is a numerical prior that floored runs never hit.
+    neff = jnp.sum(mask)
+    cond_cap = 2e6 if K.dtype == jnp.float32 else 1e12
+    bad = sigmaf_sq * neff / s20 > cond_cap
     K_safe = jnp.where(bad, jnp.eye(n, dtype=K.dtype), K)
     L = linalg_f32.cholesky(K_safe)
     ym = y * mask
     alpha = linalg_f32.cho_solve(L, ym)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
     quad = jnp.sum(ym * alpha)
-    neff = jnp.sum(mask)
     ll = -0.5 * (quad + logdet + neff * jnp.log(2.0 * jnp.pi))
-    return jnp.where(bad, jnp.asarray(-jnp.inf, ll.dtype), ll)
+    # belt-and-suspenders: an unexpected non-finite factorization still
+    # yields -inf (its gradient is sanitized at the sampler/optimizer
+    # choke points — nuts._safe_vag)
+    return jnp.where(bad | ~jnp.isfinite(ll),
+                     jnp.asarray(-jnp.inf, ll.dtype), ll)
 
 
 def make_patch_logpost(X: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
@@ -129,13 +138,16 @@ def map_estimate(logpost: Callable, theta0: jnp.ndarray, steps: int = 200,
     TPU backend). Returns (theta, logpost trace)."""
     import optax
 
+    from gp_compressor_tpu.inference.nuts import _safe_vag
+
     opt = optax.adam(lr)
+    vag = _safe_vag(logpost)   # -inf/0 on non-finite posterior or gradient
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(theta0, n):
         def body(carry, _):
             theta, state = carry
-            lp, g = jax.value_and_grad(logpost)(theta)
+            lp, g = vag(theta)
             updates, state = opt.update(jax.tree.map(lambda x: -x, g), state)
             theta = jax.tree.map(lambda a, b: a + b, theta, updates)
             return (theta, state), lp
@@ -157,7 +169,8 @@ MAP_START_OFFSETS = ((0.0, 0.0, 0.0), (-3.0, -3.0, -2.0),
 
 def map_estimate_multi(logpost: Callable, theta0: jnp.ndarray,
                        steps: int = 150, lr: float = 0.1,
-                       n_starts: int = 4, theta_init=None):
+                       n_starts: int = 4, theta_init=None,
+                       starts_sharding=None):
     """Multi-start MAP: vmap the Adam ascent over `n_starts` log-space
     offsets of theta0 and keep the best final log posterior.
 
@@ -171,19 +184,29 @@ def map_estimate_multi(logpost: Callable, theta0: jnp.ndarray,
     theta_init: optional traced warm start (e.g. the previous cloud's
     calibration) replacing the first offset — the production steady state
     needs far fewer steps (see compress_decompress_calibrated).
+    starts_sharding: optional NamedSharding for the start axis (e.g.
+    P("chain") on the session mesh) — the vmapped ascents are mutually
+    independent, so constraining the starts shards the whole multi-start
+    search chain-parallel with zero collectives until the final argmax.
     Returns (best theta, final logposts [n_starts])."""
     offs = jnp.asarray(MAP_START_OFFSETS, theta0.dtype)[:n_starts]
     starts = theta0[None, :] + offs
     if theta_init is not None:
         starts = starts.at[0].set(jnp.asarray(theta_init, theta0.dtype))
+    if starts_sharding is not None:
+        starts = lax.with_sharding_constraint(starts, starts_sharding)
 
     import optax
+
+    from gp_compressor_tpu.inference.nuts import _safe_vag
+
     opt = optax.adam(lr)
+    vag = _safe_vag(logpost)
 
     def one(theta0):
         def body(carry, _):
             theta, state = carry
-            lp, g = jax.value_and_grad(logpost)(theta)
+            lp, g = vag(theta)
             updates, state = opt.update(jax.tree.map(lambda x: -x, g), state)
             theta = jax.tree.map(lambda a, b: a + b, theta, updates)
             return (theta, state), lp

@@ -58,3 +58,25 @@ def shard_patch_batch(tree, mesh: Mesh, data_axis: str = "data"):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def constrain_leading(tree, mesh: Mesh, dim: int, axis: str = "data"):
+    """`with_sharding_constraint` every array leaf whose LEADING axis has
+    size `dim` to P(axis) (trailing axes replicated); leave other leaves
+    (scalars, lookup tables, differently-shaped arrays) unconstrained.
+
+    This is the one annotation the sharded flagship pipeline needs: the
+    front end's global ops (sort/unique/segment-sum over the point axis)
+    stay whatever GSPMD propagates, and everything patch-banked downstream
+    (train scan, Pallas grid, grid decompress) is forced patch-parallel at
+    the stage boundary.
+    """
+
+    def c(a):
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == dim:
+            spec = P(axis, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec))
+        return a
+
+    return jax.tree.map(c, tree)

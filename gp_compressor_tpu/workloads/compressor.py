@@ -62,8 +62,54 @@ def project(points: jnp.ndarray, colors: jnp.ndarray, valid: jnp.ndarray,
                                      shuffle_key=shuffle_key)
 
 
+def _constrain_batch(batch: patches_mod.PatchBatch, mesh):
+    """Force the patch-banked arrays onto the mesh's `data` axis at the
+    project->train stage boundary (the grid's lookup tables and the
+    point-axis claims stay whatever GSPMD propagates)."""
+    from gp_compressor_tpu.parallel import mesh as mesh_lib
+
+    B = batch.mask.shape[0]
+    c = lambda t: mesh_lib.constrain_leading(t, mesh, B)
+    return batch._replace(
+        rotations=c(batch.rotations), means=c(batch.means),
+        rgb_means=c(batch.rgb_means), W=c(batch.W), X=c(batch.X),
+        y=c(batch.y), rgb=c(batch.rgb), mask=c(batch.mask),
+        counts=c(batch.counts))
+
+
+def _pallas_train_shardmap(mesh, kp, gpcfg, states, X, Y, M, s20, eps_tol,
+                           interpret: bool = False):
+    """Run the fused Pallas training kernel patch-parallel over the mesh's
+    `data` axis via shard_map — a pallas_call is an opaque custom call
+    GSPMD cannot partition, but the kernel's grid is per-patch independent,
+    so each device running it on its local [B/n_data] patch shard is exact.
+    Hyperparameters (SMEM row) replicate; no collectives inside."""
+    try:
+        from jax import shard_map
+    except ImportError:                      # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gp_compressor_tpu.pallas_kernels import sogp_train
+
+    dt = X.dtype
+    s20 = jnp.asarray(gpcfg.s20, dt) if s20 is None else s20
+    eps = jnp.asarray(gpcfg.eps_tol, dt) if eps_tol is None else eps_tol
+
+    def body(kp, states, X, Y, M, s20, eps):
+        return sogp_train.add_points_batch_pallas(
+            kp, gpcfg, states, X, Y, M, s20=s20, eps_tol=eps,
+            interpret=interpret)
+
+    d, r = P("data"), P()
+    return shard_map(body, mesh=mesh,
+                     in_specs=(r, d, d, d, d, r, r), out_specs=d,
+                     check_rep=False)(kp, states, X, Y, M, s20, eps)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas",
-                                              "banks_shuffled", "full_probes"))
+                                              "banks_shuffled", "full_probes",
+                                              "mesh", "pallas_interpret"))
 def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
           key: jax.Array,
           depth_kp: Optional[RBFParams] = None,
@@ -71,7 +117,8 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
           use_pallas: bool = False,
           banks_shuffled: bool = False,
           depth_s20=None, depth_eps=None,
-          full_probes: bool = False) -> CompressedCloud:
+          full_probes: bool = False,
+          mesh=None, pallas_interpret: bool = False) -> CompressedCloud:
     """train_processes equivalent (src/gp_compressor.cpp:121-175): feed each
     patch's claimed points into its depth GP and RGB field GP, with the
     reference's shuffle-before-insert (src/sparse_gp.hpp:43-56).
@@ -85,7 +132,12 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
     noise floor and novelty threshold — lets a calibrate->train pipeline
     stay one compiled program instead of retracing per calibration.
     full_probes=True forces full-grid health probes (use when the
-    length-scale may calibrate below the patch footprint)."""
+    length-scale may calibrate below the patch footprint).
+    mesh: optional jax.sharding.Mesh — shards the patch-bank axis over its
+    `data` axis (the Pallas kernel goes through shard_map; the XLA paths
+    partition via propagation from the constrained banks).
+    pallas_interpret routes the kernel through interpret mode (CPU mesh
+    tests)."""
     dkp, ckp = default_params(cfg)
     depth_kp = depth_kp if depth_kp is not None else dkp
     rgb_kp = rgb_kp if rgb_kp is not None else ckp
@@ -95,6 +147,8 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
     dnoise = GaussianNoise(s20=d_s20)
     cnoise = GaussianNoise(s20=jnp.asarray(cfg.rgb_gp.s20))
 
+    if mesh is not None:
+        batch = _constrain_batch(batch, mesh)
     dstates = sparse_gp.init_batch(cfg.depth_gp, B)
     cstates = sparse_gp.init_batch(cfg.rgb_gp, B)
     if use_pallas:
@@ -111,11 +165,21 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
                 a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
             Xs, ys, rs = take(batch.X), take(batch.y), take(batch.rgb)
             ms = jnp.take_along_axis(batch.mask, perm, axis=1)
-        dstates = sogp_train.add_points_batch_pallas(
-            depth_kp, cfg.depth_gp, dstates, Xs, ys, ms,
-            s20=depth_s20, eps_tol=depth_eps)
-        cstates = sogp_train.add_points_batch_pallas(
-            rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms)
+        if mesh is not None:
+            dstates = _pallas_train_shardmap(
+                mesh, depth_kp, cfg.depth_gp, dstates, Xs, ys, ms,
+                depth_s20, depth_eps, interpret=pallas_interpret)
+            cstates = _pallas_train_shardmap(
+                mesh, rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms,
+                None, None, interpret=pallas_interpret)
+        else:
+            dstates = sogp_train.add_points_batch_pallas(
+                depth_kp, cfg.depth_gp, dstates, Xs, ys, ms,
+                s20=depth_s20, eps_tol=depth_eps,
+                interpret=pallas_interpret)
+            cstates = sogp_train.add_points_batch_pallas(
+                rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms,
+                interpret=pallas_interpret)
     else:
         # banks already carry the intended insertion order (scatter-time
         # shuffle or a deterministic bank_order): no in-path shuffle
@@ -210,24 +274,36 @@ def reconstruction_rmse(comp: CompressedCloud, cfg: CompressorConfig,
 
 
 def compress(points, colors, valid, cfg: CompressorConfig, key,
-             use_pallas: bool = False) -> CompressedCloud:
+             use_pallas: bool = False, mesh=None,
+             pallas_interpret: bool = False) -> CompressedCloud:
     """Full save_compressed pipeline (src/gp_compressor.cpp:21-27)."""
     ks, kt = jax.random.split(key)
     batch = project(points, colors, valid, cfg, shuffle_key=ks)
-    return train(batch, cfg, kt, use_pallas=use_pallas, banks_shuffled=True)
+    return train(batch, cfg, kt, use_pallas=use_pallas, banks_shuffled=True,
+                 mesh=mesh, pallas_interpret=pallas_interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "mesh",
+                                              "pallas_interpret"))
 def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False, mesh=None,
+                        pallas_interpret: bool = False):
     """save_compressed + load_compressed fused into ONE jit — the
     production round-trip path. The nested project/train/decompress jits
     inline under this trace, so the whole pipeline is a single device
     dispatch: on the tunneled TPU backend the per-stage dispatch+fetch
     round-trips alone cost ~25% of end-to-end wall at 300k points.
 
+    mesh: optional device mesh — the front end's point-axis global ops
+    (sort/unique/segment-sum) partition under GSPMD from the input
+    sharding, the patch banks are constrained to the `data` axis at the
+    project->train boundary (see train), and decompress/reductions ride
+    the propagated patch sharding with psum collectives over ICI. The
+    single-device program is the mesh=None special case of the same code.
+
     Returns (CompressedCloud, decompress outputs)."""
-    comp = compress(points, colors, valid, cfg, key, use_pallas=use_pallas)
+    comp = compress(points, colors, valid, cfg, key, use_pallas=use_pallas,
+                    mesh=mesh, pallas_interpret=pallas_interpret)
     out = decompress(comp, cfg)
     return comp, out
 
@@ -274,7 +350,7 @@ def calib_subsample(batch: patches_mod.PatchBatch, n_patches: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "use_pallas", "calib_patches", "calib_points", "calib_steps",
-    "calib_starts"))
+    "calib_starts", "mesh", "pallas_interpret"))
 def compress_decompress_calibrated(points, colors, valid,
                                    cfg: CompressorConfig, key,
                                    use_pallas: bool = False,
@@ -283,7 +359,8 @@ def compress_decompress_calibrated(points, colors, valid,
                                    calib_steps: int = 150,
                                    calib_lr: float = 0.1,
                                    calib_starts: int = 4,
-                                   theta_init=None):
+                                   theta_init=None,
+                                   mesh=None, pallas_interpret: bool = False):
     """The north-star round trip (BASELINE.json: compress+decompress with
     Bayesian-calibrated hyperparameters) in ONE device dispatch.
 
@@ -299,6 +376,9 @@ def compress_decompress_calibrated(points, colors, valid,
     theta_init: optional traced warm start (previous cloud's calibration,
     the production steady state) — pair with calib_steps ~40 and
     calib_starts=1 for a warm refresh at a fraction of the cold cost.
+    mesh: optional device mesh — patch banks shard over `data` (see
+    compress_decompress) and the independent MAP starts shard over
+    `chain` when the mesh carries that axis.
 
     Returns (CompressedCloud, depth RBFParams, s20 [traced scalar],
     decompress outputs)."""
@@ -317,9 +397,14 @@ def compress_decompress_calibrated(points, colors, valid,
     theta0 = jnp.asarray([np.log(cfg.depth_gp.sigmaf_sq),
                           np.log(cfg.depth_gp.l_sq),
                           np.log(cfg.depth_gp.s20)], calib_dt)
+    starts_sh = None
+    if mesh is not None and "chain" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec
+        starts_sh = NamedSharding(mesh, PartitionSpec("chain"))
     theta, _ = hmc.map_estimate_multi(logpost, theta0, steps=calib_steps,
                                       lr=calib_lr, n_starts=calib_starts,
-                                      theta_init=theta_init)
+                                      theta_init=theta_init,
+                                      starts_sharding=starts_sh)
     dt = batch.X.dtype
     sf, l2, s20 = [jnp.asarray(v, dt) for v in jnp.exp(theta)]
     depth_kp = RBFParams(sigmaf_sq=sf, l_sq=l2)
@@ -328,7 +413,8 @@ def compress_decompress_calibrated(points, colors, valid,
     eps_cal = cfg.depth_gp.eps_tol * sf / cfg.depth_gp.sigmaf_sq
     comp = train(batch, cfg, kt, depth_kp=depth_kp, use_pallas=use_pallas,
                  banks_shuffled=True, depth_s20=s20, depth_eps=eps_cal,
-                 full_probes=True)
+                 full_probes=True, mesh=mesh,
+                 pallas_interpret=pallas_interpret)
     out = decompress(comp, cfg, depth_kp=depth_kp, depth_s20=s20)
     return comp, depth_kp, s20, out
 

@@ -105,3 +105,117 @@ def test_chain_axis_hmc_sharding():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# the REAL pipeline on the mesh (VERDICT r3 next #1): compress_decompress
+# and register() — global sort/claim/segment front end included — must run
+# sharded with parity against the single-device program.
+# ---------------------------------------------------------------------------
+
+from gp_compressor_tpu.config import (CompressorConfig, PatchConfig,
+                                      RegistrationConfig, rgb_gp_config)
+from gp_compressor_tpu.utils import synthetic
+from gp_compressor_tpu.workloads import compressor, registration
+
+PIPE_CFG = CompressorConfig(
+    patch=PatchConfig(res=0.5, sz=8, max_patches=128,
+                      max_points_per_patch=128,
+                      approx_sphere_moments=True, bank_order="center_out"),
+    depth_gp=GPConfig(capacity=20, slots=32, eps_tol=2.0),
+    rgb_gp=rgb_gp_config(slots=32, capacity=20),
+)
+
+
+def _small_cloud(n=5000, seed=3):
+    pts, cols = synthetic.room_cloud(n=n, seed=seed)
+    return (jnp.asarray(pts), jnp.asarray(cols),
+            jnp.ones((pts.shape[0],), bool))
+
+
+def test_compress_decompress_sharded_parity():
+    """The headline one-jit program (value-sort banking, claim tables,
+    segment sums, batched GP train, grid decompress) under a data-axis
+    mesh == the single-device run."""
+    pts, cols, valid = _small_cloud()
+    key = jax.random.key(7)
+    comp1, out1 = compressor.compress_decompress(pts, cols, valid, PIPE_CFG,
+                                                 key)
+    rmse1 = compressor.reconstruction_rmse(comp1, PIPE_CFG)
+
+    m = mesh_lib.make_mesh(MeshConfig())
+    sh = NamedSharding(m, P("data"))
+    pts_s = jax.device_put(pts, sh)
+    cols_s = jax.device_put(cols, sh)
+    valid_s = jax.device_put(valid, sh)
+    comp8, out8 = compressor.compress_decompress(pts_s, cols_s, valid_s,
+                                                 PIPE_CFG, key, mesh=m)
+    rmse8 = compressor.reconstruction_rmse(comp8, PIPE_CFG)
+
+    # integer front-end outputs are order-deterministic: exact
+    assert int(comp1.patch.n_leaves) == int(comp8.patch.n_leaves)
+    np.testing.assert_array_equal(np.asarray(comp1.patch.claims),
+                                  np.asarray(comp8.patch.claims))
+    np.testing.assert_array_equal(np.asarray(comp1.patch.mask),
+                                  np.asarray(comp8.patch.mask))
+    # float outputs: identical up to f32 reduction reordering
+    np.testing.assert_allclose(float(rmse1), float(rmse8),
+                               rtol=1e-4, atol=1e-6)
+    w1, c1, v1 = np.asarray(out1[0]), np.asarray(out1[1]), np.asarray(out1[2])
+    w8, c8, v8 = np.asarray(out8[0]), np.asarray(out8[1]), np.asarray(out8[2])
+    np.testing.assert_array_equal(v1, v8)
+    np.testing.assert_allclose(w1[v1], w8[v8], atol=1e-4)
+    np.testing.assert_allclose(c1[v1], c8[v8], atol=0.2)
+    # the patch banks really are sharded over the mesh, not replicated
+    shd = comp8.depth_gp.alpha.sharding
+    assert not shd.is_fully_replicated
+
+
+def test_register_sharded_parity():
+    """register() (claims + banks + density gradients + twist psum under
+    lax.while_loop) on the mesh == single device."""
+    pts, cols, valid = _small_cloud(n=4000, seed=5)
+    comp = compressor.compress(pts, cols, valid, PIPE_CFG, jax.random.key(0))
+
+    # small rigid perturbation of the same cloud as the scan
+    import gp_compressor_tpu.geometry.transforms as transforms
+    w = jnp.asarray([0.004, -0.003, 0.002], pts.dtype)
+    t = jnp.asarray([0.008, -0.006, 0.004], pts.dtype)
+    Rp = transforms.euler_xyz(w)
+    scan = transforms.apply(pts, Rp, t)
+
+    rcfg = RegistrationConfig(max_steps=8, min_steps=2, reclaim_every=2,
+                              step_mode="rprop")
+    st1, _ = registration.register(comp, scan, cols, valid, PIPE_CFG, rcfg)
+
+    m = mesh_lib.make_mesh(MeshConfig())
+    st8, _ = registration.register(comp, scan, cols, valid, PIPE_CFG, rcfg,
+                                   mesh=m)
+    assert int(st1.step_nbr) == int(st8.step_nbr)
+    np.testing.assert_allclose(np.asarray(st1.t_cloud),
+                               np.asarray(st8.t_cloud), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st1.R_cloud),
+                               np.asarray(st8.R_cloud), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st1.delta),
+                               np.asarray(st8.delta), rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_train_shardmap_interpret_parity():
+    """The fused Pallas kernel wrapped in shard_map over the data axis
+    (interpret mode on the CPU mesh) == the single-device kernel call."""
+    from gp_compressor_tpu.geometry import patches as patches_mod
+
+    pts, cols, valid = _small_cloud(n=3000, seed=11)
+    batch = compressor.project(pts, cols, valid, PIPE_CFG)
+    key = jax.random.key(2)
+
+    comp1 = compressor.train(batch, PIPE_CFG, key, use_pallas=True,
+                             banks_shuffled=True, pallas_interpret=True)
+    m = mesh_lib.make_mesh(MeshConfig())
+    comp8 = compressor.train(batch, PIPE_CFG, key, use_pallas=True,
+                             banks_shuffled=True, pallas_interpret=True,
+                             mesh=m)
+    for a, b in zip(jax.tree.leaves(comp1.depth_gp),
+                    jax.tree.leaves(comp8.depth_gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
