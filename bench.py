@@ -118,7 +118,8 @@ def main():
         pass
 
     from gp_compressor_tpu.config import (CompressorConfig, GPConfig,
-                                          PatchConfig, rgb_gp_config)
+                                          KSVDConfig, PatchConfig,
+                                          rgb_gp_config, rgb_ksvd_config)
     from gp_compressor_tpu.utils import synthetic
     from gp_compressor_tpu.workloads import compressor
 
@@ -153,6 +154,12 @@ def main():
         rgb_gp=dataclasses.replace(
             rgb_gp_config(slots=TPU_SLOTS, capacity=TPU_CAPACITY),
             eps_tol=TPU_EPS_TOL),
+        # demo stopping constants per pipeline (src/test_compress.cpp:18);
+        # atom_block=16: Jacobi-within-block dictionary sweeps — 38 scan
+        # steps instead of 600 (the sweep is latency-bound, see
+        # KSVDConfig.atom_block)
+        ksvd=KSVDConfig(atom_block=16),
+        rgb_ksvd=dataclasses.replace(rgb_ksvd_config(), atom_block=16),
     )
 
     pts = jnp.asarray(pts_np)

@@ -213,25 +213,34 @@ def _replace_unused(D, usage_count, S, valid, key, cfg):
 
 
 def _atom_sweep(D, code, S, W, valid, cfg):
-    """Gauss-Seidel dictionary update over all atoms
+    """Dictionary update over all atoms
     (ksvd_decomposition::optimize_dictionary, :91-148), with the masked
     residual R = W o (S - D X) maintained incrementally and per-atom column
-    selection done by weights instead of gathers."""
+    selection done by weights instead of gathers.
+
+    cfg.atom_block == 1 is the reference's pure Gauss-Seidel order; larger
+    blocks update `atom_block` atoms per scan step Jacobi-style against the
+    block-start residual (see KSVDConfig.atom_block) — the rank-1 residual
+    corrections are linear, so the block applies them jointly."""
     n, l = S.shape
     K = D.shape[1]
     kmax = code.X.shape[1]
+    blk = max(1, min(cfg.atom_block, K))
     usek = (jnp.arange(kmax)[None, :] < code.nw[:, None]) & valid[:, None]
     Xeff = code.X * usek
 
     R = (S - reconstruct(D, code)) * W * valid[:, None]    # [n, l]
 
-    def step(carry, j):
-        R, D, Xeff = carry
-        using = jnp.any((code.I == j) & usek, axis=1)      # [n]
-        kpos = jnp.argmax((code.I == j) & usek, axis=1)    # [n]
+    def one_atom(R, D, Xeff, j):
+        """Updated (u [l], xj_new [n], using [n], kpos [n], old xj, dj)
+        for atom j against residual R; no-op payload for padded j >= K."""
+        real = j < K
+        jc = jnp.minimum(j, K - 1)
+        using = jnp.any((code.I == jc) & usek, axis=1) & real  # [n]
+        kpos = jnp.argmax((code.I == jc) & usek, axis=1)       # [n]
         xj = jnp.take_along_axis(Xeff, kpos[:, None], axis=1)[:, 0] * using
 
-        dj = D[:, j]                                       # [l]
+        dj = D[:, jc]                                      # [l]
         # masked residual with atom j's contribution restored, restricted
         # to its users: A = sel o (R + W o (x_j d_j^T))
         A = (R + (xj[:, None] * dj[None, :]) * W) * using[:, None]  # [n, l]
@@ -240,16 +249,47 @@ def _atom_sweep(D, code, S, W, valid, cfg):
         any_user = jnp.any(using)
         u = jnp.where(any_user, u, dj)
         xj_new = jnp.where(any_user, xj_new, xj)
+        return u, xj_new, using, kpos, xj, dj
 
-        R_new = R + ((xj[:, None] * dj[None, :]) -
-                     (xj_new[:, None] * u[None, :])) * W * using[:, None]
-        D_new = D.at[:, j].set(u)
-        Xeff_new = jnp.where(
-            (jnp.arange(kmax)[None, :] == kpos[:, None]) & using[:, None],
-            xj_new[:, None], Xeff)
-        return (R_new, D_new, Xeff_new), None
+    if blk == 1:
+        def step(carry, j):
+            R, D, Xeff = carry
+            u, xj_new, using, kpos, xj, dj = one_atom(R, D, Xeff, j)
+            R_new = R + ((xj[:, None] * dj[None, :]) -
+                         (xj_new[:, None] * u[None, :])) * W * using[:, None]
+            D_new = D.at[:, j].set(u)
+            Xeff_new = jnp.where(
+                (jnp.arange(kmax)[None, :] == kpos[:, None]) & using[:, None],
+                xj_new[:, None], Xeff)
+            return (R_new, D_new, Xeff_new), None
 
-    (R, D, Xeff), _ = lax.scan(step, (R, D, Xeff), jnp.arange(K))
+        (R, D, Xeff), _ = lax.scan(step, (R, D, Xeff), jnp.arange(K))
+    else:
+        nblocks = (K + blk - 1) // blk
+        jblocks = jnp.arange(nblocks * blk, dtype=jnp.int32).reshape(
+            nblocks, blk)                                  # pad j >= K no-op
+
+        def step(carry, jb):
+            R, D, Xeff = carry
+            u_b, xn_b, us_b, kp_b, xo_b, dj_b = jax.vmap(
+                one_atom, in_axes=(None, None, None, 0))(R, D, Xeff, jb)
+            # joint residual correction: sum of the block's rank-1 deltas
+            # (each computed vs the block-start R — Jacobi within block)
+            usf = us_b.astype(R.dtype)                     # [blk, n]
+            old = jnp.einsum('bn,bl->nl', xo_b * usf, dj_b)
+            new = jnp.einsum('bn,bl->nl', xn_b * usf, u_b)
+            R_new = R + (old - new) * W
+            # padded j >= K scatter out of bounds and drop (a clipped index
+            # would race the real j = K-1 update in the same block)
+            D_new = D.at[:, jnp.where(jb < K, jb, K)].set(u_b.T, mode='drop')
+            upd = (jnp.arange(kmax)[None, None, :] == kp_b[:, :, None]) \
+                & us_b[:, :, None]                         # [blk, n, kmax]
+            Xeff_new = jnp.where(jnp.any(upd, axis=0),
+                                 jnp.sum(jnp.where(upd, xn_b[:, :, None], 0.0),
+                                         axis=0), Xeff)
+            return (R_new, D_new, Xeff_new), None
+
+        (R, D, Xeff), _ = lax.scan(step, (R, D, Xeff), jblocks)
     return D, code._replace(X=jnp.where(usek, Xeff, code.X)), R
 
 

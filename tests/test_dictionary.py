@@ -108,6 +108,40 @@ def test_ksvd_reduces_error_and_converges():
     assert err_exact < 0.25 * err_ref, (err_exact, err_ref)
 
 
+def test_ksvd_blocked_atom_sweep_matches_serial_quality():
+    """atom_block > 1 (Jacobi-within-block dictionary update, the TPU
+    latency fix) must reach the same error regime as the reference's
+    serial Gauss-Seidel sweep on a recoverable sparse problem."""
+    r = np.random.default_rng(9)
+    l, K, n, k = 49, 24, 200, 3
+    D_true = r.standard_normal((l, K))
+    D_true /= np.linalg.norm(D_true, axis=0)
+    X_true = np.zeros((n, K))
+    for i in range(n):
+        sel = r.choice(K, size=k, replace=False)
+        X_true[i, sel] = r.standard_normal(k) * 3
+    S = X_true @ D_true.T + 0.01 * r.standard_normal((n, l))
+    W = (r.uniform(size=(n, l)) > 0.2).astype(float)
+    args = (jnp.asarray(S), jnp.asarray(W), jnp.ones(n, bool))
+
+    cfg1 = KSVDConfig(dict_size=K, words_max=k, proj_error=1e-8,
+                      stop_diff=1e-5, max_iters=15)
+    cfg8 = KSVDConfig(dict_size=K, words_max=k, proj_error=1e-8,
+                      stop_diff=1e-5, max_iters=15, atom_block=8)
+    res1 = dictionary.ksvd(*args, cfg1, jax.random.key(0))
+    res8 = dictionary.ksvd(*args, cfg8, jax.random.key(0))
+    base = float(np.mean(np.sum((S * W) ** 2, axis=1)))
+    assert float(res8.error) < 0.10 * base, (float(res8.error), base)
+    # within 1.5x of the serial sweep's converged masked MSE
+    assert float(res8.error) < 1.5 * float(res1.error) + 1e-6, (
+        float(res8.error), float(res1.error))
+    # block size not dividing dict_size exercises the padded last block
+    cfg7 = KSVDConfig(dict_size=K, words_max=k, proj_error=1e-8,
+                      stop_diff=1e-5, max_iters=15, atom_block=7)
+    res7 = dictionary.ksvd(*args, cfg7, jax.random.key(0))
+    assert float(res7.error) < 0.10 * base
+
+
 def test_artifact_roundtrip(tmp_path):
     r = np.random.default_rng(4)
     n, sz, l = 7, 6, 36
