@@ -35,6 +35,35 @@ class GPConfig:
     l_sq: float = 1.0            # RBF squared lengthscale
     s20: float = 1e-1            # observation noise variance
     eps_tol: float = 1e-6        # novelty threshold: gamma below => sparse update
+    novelty_mode: str = "gamma"
+    # "gamma": the reference's novelty test gamma >= eps_tol
+    #   (src/sparse_gp.hpp:155). At its constants (sigma_f^2=100, l=1 m on
+    #   0.15 m patches) gamma cancels ~7 decimal digits, so f32 must hold
+    #   eps_tol ~2.0 and admits only ~1 BV/patch (r3 headline: RMSE 0.0208
+    #   vs 0.015 f64).
+    # "geometric": conditioning-FREE streaming novelty — admit a point as
+    #   a basis vector iff it lies at least geom_dmin from every current
+    #   BV (equivalently max_i k_i < sigma_f^2 exp(-dmin^2/2 l^2), pure
+    #   values the update already computes) and the patch holds fewer than
+    #   geom_max_bv BVs; all other points get the usual sparse projection.
+    #   This is greedy farthest-point basis selection in streaming form:
+    #   exactly the points f64's gamma test admits at these constants, but
+    #   computed without the catastrophic cancellation (measured: forced
+    #   2-point geometric bases reach f64-level RMSE in f32,
+    #   benchmarks/r4_forced_bv.json). eps_tol is ignored in this mode.
+    geom_dmin: float = 0.05      # [m] minimum BV separation ("geometric")
+    geom_max_bv: int = 3         # BV budget per patch ("geometric")
+    geom_gamma_min_rel: float = 1e-2
+    # Admission sanity floor: a geometric admit additionally requires the
+    # measured gamma > geom_gamma_min_rel * sigma_f^2. The true gamma of a
+    # k-th well-separated BV shrinks like sigma_f^2 (d^2/2l^2)^(k-1); an
+    # admit whose gamma sits near the f32 evaluation error of the
+    # k^T Q k cancellation makes the ONGOING C/Q recursion drift
+    # unboundedly (measured on uniform 0.15 m patches at the reference
+    # constants: floor 1e-4 -> 26/130 patches NaN, 3e-3 -> 5, 1e-2 -> 0
+    # with mean_bv 2.45). The floor makes the mode self-limiting: it
+    # admits exactly as many BVs as the f32 recursion can carry at the
+    # operating hyperparameters.
     gamma_tiny: float = 1e-12    # numerical floor (src/sparse_gp.hpp:146)
     geom_tol: float = 1e-9       # geometric deletion threshold (src/sparse_gp.hpp:228)
     max_geometric_deletes: int = 2  # per added point (reference loops unboundedly;

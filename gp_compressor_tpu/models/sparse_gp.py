@@ -210,7 +210,19 @@ def add_point(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
     bv_f = state.bv * (1.0 - oh)[:, None] + jnp.outer(oh, x)
     active_f = state.active | (jnp.arange(cap1) == slot)
 
-    use_sparse = gamma < (cfg.eps_tol if eps_tol is None else eps_tol)
+    if cfg.novelty_mode == "geometric":
+        # conditioning-free streaming novelty (GPConfig.novelty_mode):
+        # admit iff farther than geom_dmin from every current BV — i.e.
+        # every kernel value below kappa — and under the BV budget. A
+        # pathological admit with f32-clamped gamma = 0 self-heals: the
+        # 1/gamma_tiny Q update trips the geometric deletion immediately.
+        kappa = kp.sigmaf_sq * jnp.exp(
+            jnp.asarray(-0.5 * cfg.geom_dmin ** 2, dt) / kp.l_sq)
+        admit = (jnp.sum(act) < cfg.geom_max_bv) & (jnp.max(k) < kappa) \
+            & (gamma > cfg.geom_gamma_min_rel * kp.sigmaf_sq)
+        use_sparse = ~admit
+    else:
+        use_sparse = gamma < (cfg.eps_tol if eps_tol is None else eps_tol)
     new = SOGPState(
         bv=jnp.where(use_sparse, state.bv, bv_f),
         alpha=jnp.where(use_sparse, alpha_s, alpha_f),
@@ -246,13 +258,29 @@ def add_points(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
     PRNG key for the insertion-order shuffle the reference applies so that
     neighbouring points are not added consecutively
     (src/sparse_gp.hpp:43-56,62-63).
+
+    eps_tol may be a traced scalar (one threshold for all points) or a
+    [n] vector (per-point thresholds — e.g. -inf to FORCE a point into
+    the basis and +inf to force a sparse projection, the mechanism behind
+    geometric basis preselection).
     """
     n = X.shape[0]
     if mask is None:
         mask = jnp.ones((n,), bool)
+    per_point = eps_tol is not None and getattr(eps_tol, "ndim", 0) == 1
     if key is not None:
         perm = jax.random.permutation(key, n)
         X, Y, mask = X[perm], Y[perm], mask[perm]
+        if per_point:
+            eps_tol = eps_tol[perm]
+
+    if per_point:
+        def step(st, inp):
+            x, y, v, e = inp
+            return add_point(kp, noise, cfg, st, x, y, v, eps_tol=e), None
+
+        state, _ = lax.scan(step, state, (X, Y, mask, eps_tol))
+        return state
 
     def step(st, inp):
         x, y, v = inp
@@ -272,11 +300,22 @@ def add_points_batch(kp: RBFParams, noise: NoiseModel, cfg: GPConfig,
     This is the TPU shape of the reference's serial per-leaf training loop
     (src/gp_compressor.cpp:132-172): every scan step performs batched
     [B, slots, slots] rank-1 algebra on the VPU/MXU.
+
+    eps_tol: scalar, or [B, n] per-(patch, point) novelty thresholds.
     """
+    per_point = eps_tol is not None and getattr(eps_tol, "ndim", 0) == 2
     if keys is None:
+        if per_point:
+            f = jax.vmap(lambda st, x, y, m, e: add_points(
+                kp, noise, cfg, st, x, y, m, eps_tol=e))
+            return f(states, X, Y, mask, eps_tol)
         f = jax.vmap(lambda st, x, y, m: add_points(
             kp, noise, cfg, st, x, y, m, eps_tol=eps_tol))
         return f(states, X, Y, mask)
+    if per_point:
+        f = jax.vmap(lambda st, x, y, m, k, e: add_points(
+            kp, noise, cfg, st, x, y, m, k, eps_tol=e))
+        return f(states, X, Y, mask, keys, eps_tol)
     f = jax.vmap(lambda st, x, y, m, k: add_points(
         kp, noise, cfg, st, x, y, m, k, eps_tol=eps_tol))
     return f(states, X, Y, mask, keys)

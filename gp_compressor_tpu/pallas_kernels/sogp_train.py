@@ -64,6 +64,9 @@ def _kernel(cfg: GPConfig, n_points: int,
     l_sq = prm_ref[0, 1]
     s20 = prm_ref[0, 2]
     eps_tol = prm_ref[0, 3]
+    geom_kappa = prm_ref[0, 4]
+    geom_max_bv = prm_ref[0, 5]
+    geom_gamma_min = prm_ref[0, 6]
     kstar = sigmaf_sq
     iota = lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
     f32 = jnp.float32
@@ -142,7 +145,18 @@ def _kernel(cfg: GPConfig, n_points: int,
         r = -1.0 / (s20 + s2)              # Gaussian noise dx2_ln
         q = (y - m) / (s20 + s2)           # [D, L] dx_ln
 
-        sp = (gamma < eps_tol).astype(jnp.float32)              # [L] 1=sparse
+        if cfg.novelty_mode == "geometric":
+            # conditioning-free streaming novelty (GPConfig.novelty_mode):
+            # admit iff max kernel value < kappa (= farther than geom_dmin
+            # from every BV) and under the BV budget — pure [S, L] values
+            # the update already has; gamma plays no role in admission
+            kmax = jnp.max(k, axis=0)                           # [L]
+            nbv = jnp.sum(act, axis=0)                          # [L]
+            admit = (nbv < geom_max_bv) & (kmax < geom_kappa) \
+                & (gamma > geom_gamma_min)
+            sp = 1.0 - admit.astype(jnp.float32)                # [L] 1=sparse
+        else:
+            sp = (gamma < eps_tol).astype(jnp.float32)          # [L] 1=sparse
         eta = 1.0 / (1.0 + gamma * r)
         slot = jnp.argmin(act, axis=0)                          # [L]
         oh = (iota == slot[None, :]).astype(jnp.float32)        # [S, L]
@@ -248,11 +262,16 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     actl = _to_lanes(states.active.astype(dt), B)  # [nblk, S, L]
     nblk = Xl.shape[0]
 
+    sf = jnp.asarray(kp.sigmaf_sq, dt)
+    l2 = jnp.asarray(kp.l_sq, dt)
+    kappa = sf * jnp.exp(jnp.asarray(-0.5 * cfg.geom_dmin ** 2, dt) / l2)
     prm = jnp.stack([
-        jnp.asarray(kp.sigmaf_sq, dt), jnp.asarray(kp.l_sq, dt),
+        sf, l2,
         jnp.asarray(cfg.s20 if s20 is None else s20, dt),
         jnp.asarray(cfg.eps_tol if eps_tol is None else eps_tol, dt),
-    ])[None, :]                                                   # [1, 4]
+        kappa, jnp.asarray(cfg.geom_max_bv, dt),
+        jnp.asarray(cfg.geom_gamma_min_rel, dt) * sf,
+    ])[None, :]                                                   # [1, 7]
     kern = functools.partial(_kernel, cfg, P)
 
     def bspec(shape):
@@ -277,7 +296,7 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     bv2, a2, C2, Q2, act2 = pl.pallas_call(
         kernel_wrap,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((1, 7), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   bspec(Xl.shape[1:]), bspec(Yl.shape[1:]), bspec(Vl.shape[1:]),
                   bspec(bvl.shape[1:]), bspec(al.shape[1:]),

@@ -78,3 +78,63 @@ def test_statistical_parity_realistic_regime():
     assert abs(rmse1 - rmse2) < 0.2 * max(rmse1, 1e-3), (rmse1, rmse2)
     d = np.abs(np.asarray(m1) - np.asarray(m2))
     assert np.median(d) < 5e-3, np.median(d)
+
+
+def test_geometric_novelty_parity_and_selection():
+    """GPConfig.novelty_mode='geometric': both paths must admit the same
+    (farthest-point-style) basis and agree on the resulting state; the
+    admitted BVs must respect the separation and budget rules."""
+    r = np.random.default_rng(7)
+    B, P = 130, 40
+    res = 0.15
+    cfg = GPConfig(capacity=14, slots=16, dout=1, dtype=jnp.float32,
+                   novelty_mode="geometric", geom_dmin=0.05, geom_max_bv=3,
+                   geom_gamma_min_rel=1e-2)
+    half = res / 2
+    X = jnp.asarray(r.uniform(-half, half, size=(B, P, 2)), jnp.float32)
+    Y = jnp.asarray(0.01 * r.normal(size=(B, P, 1)), jnp.float32)
+    mask = jnp.asarray(r.uniform(size=(B, P)) > 0.1)
+    ref, out = _run_both(cfg, X, Y, mask)
+    assert np.array_equal(np.asarray(ref.active), np.asarray(out.active))
+    # a gamma within f32 rounding of the admission floor can flip between
+    # the two paths' summation orders (knife-edge, same as the capacity
+    # churn caveat above): require identical BV picks on >= 95% of patches
+    # and strict state agreement there
+    same = np.all(np.asarray(ref.bv) == np.asarray(out.bv), axis=(1, 2))
+    assert same.mean() >= 0.95, same.mean()
+    # at sf=100/l=1 conditioning the recursion amplifies per-op rounding
+    # order differences through the state, so raw-state comparison is
+    # meaningless; compare what reaches users — predictions on the
+    # footprint — on the same-decision patches
+    probes = jnp.asarray(r.uniform(-half, half, size=(24, 2)), jnp.float32)
+    Bp = jnp.broadcast_to(probes, (B, 24, 2))
+    m_ref, v_ref = sparse_gp.predict_batch(KP, cfg.s20, ref, Bp)
+    m_out, v_out = sparse_gp.predict_batch(KP, cfg.s20, out, Bp)
+    dm = np.abs(np.asarray(m_ref)[same] - np.asarray(m_out)[same])
+    assert np.median(dm) < 1e-3, np.median(dm)
+    assert dm.max() < 2e-2, dm.max()     # well under the 0.01 data scale
+    # equally good in-sample fits on the training points
+    tm_ref, _ = sparse_gp.predict_batch(KP, cfg.s20, ref, X)
+    tm_out, _ = sparse_gp.predict_batch(KP, cfg.s20, out, X)
+    mask_np = np.asarray(mask)
+    e_ref = np.sqrt(np.mean((np.asarray(tm_ref)[..., 0] -
+                             np.asarray(Y)[..., 0])[mask_np] ** 2))
+    e_out = np.sqrt(np.mean((np.asarray(tm_out)[..., 0] -
+                             np.asarray(Y)[..., 0])[mask_np] ** 2))
+    assert abs(e_ref - e_out) < 0.1 * max(e_ref, e_out), (e_ref, e_out)
+    # no divergence anywhere, either path
+    for st in (ref, out):
+        for leaf in (st.alpha, st.C, st.Q):
+            assert np.isfinite(np.asarray(leaf)).all()
+    # selection invariants: budget respected, pairwise separation >= dmin
+    sizes = np.asarray(sparse_gp.size(ref))
+    assert sizes.max() <= cfg.geom_max_bv
+    assert sizes.min() >= 1           # every patch has valid points
+    bv = np.asarray(ref.bv)
+    act = np.asarray(ref.active)
+    for b_ in range(B):
+        pts = bv[b_][act[b_]]
+        if len(pts) >= 2:
+            d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            assert d.min() >= cfg.geom_dmin - 1e-6
