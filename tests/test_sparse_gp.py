@@ -287,3 +287,28 @@ def test_sanitize_batch_resets_nonfinite():
     assert np.isfinite(np.asarray(fixed.C)).all()
     assert not bool(fixed.active[1].any()) and not bool(fixed.active[2].any())
     assert bool(fixed.active[0, 0]) and bool(fixed.active[3, 0])
+
+
+def test_per_point_eps_tol_forces_and_blocks():
+    """eps_tol as a per-point vector: -inf forces a full update (the point
+    becomes a BV), +inf forces the sparse projection (it never does)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gp_compressor_tpu.config import GPConfig
+    from gp_compressor_tpu.ops.kernels import RBFParams
+    from gp_compressor_tpu.ops.noise import GaussianNoise
+
+    cfg = GPConfig(capacity=10, slots=16, dtype=jnp.float64)
+    kp = RBFParams(sigmaf_sq=jnp.asarray(1.0), l_sq=jnp.asarray(0.01))
+    noise = GaussianNoise(s20=jnp.asarray(0.1))
+    X = jnp.asarray([[0.0, 0.0], [0.05, 0.0], [0.1, 0.0], [0.0, 0.05]])
+    Y = jnp.asarray([[0.1], [0.2], [0.15], [0.05]])
+    big = jnp.asarray(1e300)
+    eps = jnp.asarray([-1e300, 1e300, -1e300, 1e300])
+    st = sparse_gp.add_points(kp, noise, cfg, sparse_gp.init(cfg), X, Y,
+                              eps_tol=eps)
+    assert int(sparse_gp.size(st)) == 2
+    bv = np.asarray(st.bv)[np.asarray(st.active)]
+    assert any(np.allclose(b, [0.0, 0.0]) for b in bv)
+    assert any(np.allclose(b, [0.1, 0.0]) for b in bv)
