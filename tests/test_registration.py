@@ -308,3 +308,31 @@ def test_registration_rprop_converges_and_stops():
         jnp.ones(spts_np.shape[0], bool), CFG, rcfg)
     drift = np.linalg.norm(np.asarray(aligned2) - spts_np, axis=1).mean()
     assert drift < 0.02, drift
+
+
+def test_likelihood_blend_mode():
+    """blend_mode='likelihood' (the reference's COMPUTE_LIKELIHOOD variant,
+    src/gp_registration.cpp:191-196): the cross-weighted gradient must be
+    finite, non-zero, and differ from the alpha blend; for a small pure
+    translation it must still point back toward the map (the per-point
+    weights are positive densities, so the dominant translation direction
+    survives the reweighting)."""
+    (mpts, mcols), (spts_np, scols_np) = _map_and_scan()
+    comp = compressor.compress(mpts, mcols, jnp.ones(mpts.shape[0], bool),
+                               CFG, jax.random.key(0))
+    offset = np.array([0.03, -0.02, 0.015])
+    spts = jnp.asarray(spts_np + offset, jnp.float64)
+    scols = jnp.asarray(scols_np, jnp.float64)
+    valid = jnp.ones(spts.shape[0], bool)
+
+    d_alpha, _, _, _ = registration.compute_transformation(
+        comp, spts, scols, valid, CFG, RegistrationConfig())
+    d_lik, ls, cls, n_used = registration.compute_transformation(
+        comp, spts, scols, valid, CFG,
+        RegistrationConfig(blend_mode="likelihood"))
+    assert int(n_used) > 1000
+    d = np.asarray(d_lik)
+    assert np.isfinite(d).all() and np.linalg.norm(d) > 0
+    assert not np.allclose(d, np.asarray(d_alpha))
+    cos = d[:3] @ (-offset) / (np.linalg.norm(d[:3]) * np.linalg.norm(offset))
+    assert cos > 0.3, (d[:3], cos)
