@@ -236,7 +236,7 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
                             mask: jnp.ndarray,
                             interpret: bool = False,
                             s20=None, eps_tol=None,
-                            state_dtype=None) -> SOGPState:
+                            state_dtype=None, geom=None) -> SOGPState:
     """Drop-in for sparse_gp.add_points_batch (Gaussian noise, no shuffle —
     pre-permute X/Y/mask outside if desired). X: [B, P, 2], Y: [B, P, D],
     mask: [B, P].
@@ -244,6 +244,9 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     s20 / eps_tol: optional TRACED overrides of the config constants; they
     ride the SMEM param row, so a calibrated run (traced hyperparameters
     from MAP/HMC) reuses the same compiled kernel instead of retracing.
+    geom: optional TRACED (dmin, max_bv, gamma_min_rel) override of the
+    geometric-novelty constants (same SMEM mechanism — sweeps share one
+    compile); only read when cfg.novelty_mode == "geometric".
     state_dtype: optional storage dtype for the C/Q state blocks (e.g.
     jnp.bfloat16 — SURVEY §7 watch-list (c)); arithmetic stays float32
     and the returned state is converted back to the input dtype. See
@@ -264,13 +267,17 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
 
     sf = jnp.asarray(kp.sigmaf_sq, dt)
     l2 = jnp.asarray(kp.l_sq, dt)
-    kappa = sf * jnp.exp(jnp.asarray(-0.5 * cfg.geom_dmin ** 2, dt) / l2)
+    g_dmin, g_maxbv, g_gmin = (cfg.geom_dmin, cfg.geom_max_bv,
+                               cfg.geom_gamma_min_rel) if geom is None \
+        else geom
+    kappa = sf * jnp.exp(jnp.asarray(-0.5, dt)
+                         * jnp.asarray(g_dmin, dt) ** 2 / l2)
     prm = jnp.stack([
         sf, l2,
         jnp.asarray(cfg.s20 if s20 is None else s20, dt),
         jnp.asarray(cfg.eps_tol if eps_tol is None else eps_tol, dt),
-        kappa, jnp.asarray(cfg.geom_max_bv, dt),
-        jnp.asarray(cfg.geom_gamma_min_rel, dt) * sf,
+        kappa, jnp.asarray(g_maxbv, dt),
+        jnp.asarray(g_gmin, dt) * sf,
     ])[None, :]                                                   # [1, 7]
     kern = functools.partial(_kernel, cfg, P)
 

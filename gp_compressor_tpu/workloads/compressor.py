@@ -118,7 +118,8 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
           banks_shuffled: bool = False,
           depth_s20=None, depth_eps=None,
           full_probes: bool = False,
-          mesh=None, pallas_interpret: bool = False) -> CompressedCloud:
+          mesh=None, pallas_interpret: bool = False,
+          geom=None) -> CompressedCloud:
     """train_processes equivalent (src/gp_compressor.cpp:121-175): feed each
     patch's claimed points into its depth GP and RGB field GP, with the
     reference's shuffle-before-insert (src/sparse_gp.hpp:43-56).
@@ -173,13 +174,15 @@ def train(batch: patches_mod.PatchBatch, cfg: CompressorConfig,
                 mesh, rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms,
                 None, None, interpret=pallas_interpret)
         else:
+            # geom: traced (dmin, max_bv, gamma_min_rel) override for the
+            # geometric novelty mode — sweep rows share one compile
             dstates = sogp_train.add_points_batch_pallas(
                 depth_kp, cfg.depth_gp, dstates, Xs, ys, ms,
                 s20=depth_s20, eps_tol=depth_eps,
-                interpret=pallas_interpret)
+                interpret=pallas_interpret, geom=geom)
             cstates = sogp_train.add_points_batch_pallas(
                 rgb_kp, cfg.rgb_gp, cstates, Xs, rs, ms,
-                interpret=pallas_interpret)
+                interpret=pallas_interpret, geom=geom)
     else:
         # banks already carry the intended insertion order (scatter-time
         # shuffle or a deterministic bank_order): no in-path shuffle
@@ -275,19 +278,19 @@ def reconstruction_rmse(comp: CompressedCloud, cfg: CompressorConfig,
 
 def compress(points, colors, valid, cfg: CompressorConfig, key,
              use_pallas: bool = False, mesh=None,
-             pallas_interpret: bool = False) -> CompressedCloud:
+             pallas_interpret: bool = False, geom=None) -> CompressedCloud:
     """Full save_compressed pipeline (src/gp_compressor.cpp:21-27)."""
     ks, kt = jax.random.split(key)
     batch = project(points, colors, valid, cfg, shuffle_key=ks)
     return train(batch, cfg, kt, use_pallas=use_pallas, banks_shuffled=True,
-                 mesh=mesh, pallas_interpret=pallas_interpret)
+                 mesh=mesh, pallas_interpret=pallas_interpret, geom=geom)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "mesh",
                                               "pallas_interpret"))
 def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
                         use_pallas: bool = False, mesh=None,
-                        pallas_interpret: bool = False):
+                        pallas_interpret: bool = False, geom=None):
     """save_compressed + load_compressed fused into ONE jit — the
     production round-trip path. The nested project/train/decompress jits
     inline under this trace, so the whole pipeline is a single device
@@ -303,7 +306,7 @@ def compress_decompress(points, colors, valid, cfg: CompressorConfig, key,
 
     Returns (CompressedCloud, decompress outputs)."""
     comp = compress(points, colors, valid, cfg, key, use_pallas=use_pallas,
-                    mesh=mesh, pallas_interpret=pallas_interpret)
+                    mesh=mesh, pallas_interpret=pallas_interpret, geom=geom)
     out = decompress(comp, cfg)
     return comp, out
 
