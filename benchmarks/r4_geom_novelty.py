@@ -99,6 +99,19 @@ def main():
                 jnp.asarray(gmin, jnp.float32))
         run(geo_cfg, f"geom_d{dmin}_k{max_bv}_g{gmin}", geom=geom)
 
+    # far_center bank order + geometric admission = streaming FPS-2:
+    # the first two bank rows are each patch's extreme pair
+    fps_cfg = dataclasses.replace(
+        geo_cfg, patch=dataclasses.replace(geo_cfg.patch,
+                                           bank_order="far_center"))
+    for dmin, max_bv, gmin in (
+            (0.05, 2, 1e-2), (0.05, 2, 5e-3), (0.08, 2, 1e-2),
+            (0.05, 3, 1e-2), (0.05, 3, 5e-3), (0.08, 3, 1e-2)):
+        geom = (jnp.asarray(dmin, jnp.float32),
+                jnp.asarray(max_bv, jnp.float32),
+                jnp.asarray(gmin, jnp.float32))
+        run(fps_cfg, f"fps_d{dmin}_k{max_bv}_g{gmin}", geom=geom)
+
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
 

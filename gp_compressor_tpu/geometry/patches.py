@@ -118,7 +118,8 @@ def sort_by_claim(claim: jnp.ndarray, claimed: jnp.ndarray, cols: tuple,
     return sorted_cols, starts.astype(jnp.int32)
 
 
-def bank_rank(loc_claim: jnp.ndarray, order: str):
+def bank_rank(loc_claim: jnp.ndarray, order: str, claim=None, claimed=None,
+              n_segments: int = 0):
     """Secondary sort key implementing PatchConfig.bank_order (None for
     'shuffle'/'native' — those need no rank key)."""
     if order in ("shuffle", "native"):
@@ -128,6 +129,18 @@ def bank_rank(loc_claim: jnp.ndarray, order: str):
         return d2
     if order == "edge_in":
         return -d2
+    if order == "far_center":
+        # each patch's FARTHEST point first, then ascending d2 (most
+        # central second): with the geometric admission rule this is
+        # streaming 2-point farthest-point sampling — the first two bank
+        # rows are the extreme pair, maximally separated (see
+        # GPConfig.novelty_mode; benchmarks/r4_forced_bv.json measured
+        # forced-FPS bases at f64-level RMSE in f32)
+        seg = jnp.where(claimed, claim, n_segments)
+        hi = jax.ops.segment_max(jnp.where(claimed, d2, -jnp.inf), seg,
+                                 num_segments=n_segments + 1)[:n_segments]
+        is_far = claimed & (d2 >= hi[jnp.where(claimed, claim, 0)])
+        return jnp.where(is_far, -1.0, d2)
     raise ValueError(f"unknown bank_order {order!r}")
 
 
@@ -395,7 +408,8 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     # over the sorted order and fill the [B, P] training banks with
     # windowed gathers (see sort_by_claim) — one value sort replaces both
     # the per-leaf segment-sum scatters and the per-slot random gathers.
-    rank = bank_rank(loc_claim, cfg.bank_order)
+    rank = bank_rank(loc_claim, cfg.bank_order, claim=claim, claimed=claimed,
+                     n_segments=B)
     if cfg.bank_order != "shuffle":
         shuffle_key = None
     (u_s, v_s, d_s, r_s, g_s, b_s), starts = sort_by_claim(
