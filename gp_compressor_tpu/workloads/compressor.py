@@ -102,9 +102,13 @@ def _pallas_train_shardmap(mesh, kp, gpcfg, states, X, Y, M, s20, eps_tol,
             interpret=interpret)
 
     d, r = P("data"), P()
-    return shard_map(body, mesh=mesh,
-                     in_specs=(r, d, d, d, d, r, r), out_specs=d,
-                     check_rep=False)(kp, states, X, Y, M, s20, eps)
+    specs = dict(mesh=mesh, in_specs=(r, d, d, d, d, r, r), out_specs=d)
+    try:
+        # new-API name; the pallas_call inside has no vma annotations
+        wrapped = shard_map(body, check_vma=False, **specs)
+    except TypeError:
+        wrapped = shard_map(body, check_rep=False, **specs)
+    return wrapped(kp, states, X, Y, M, s20, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas",
