@@ -382,10 +382,14 @@ def bench_registration(pts, cols, valid, cfg, comp, use_pallas):
     Headline row: the CALIBRATED map (the north-star operating point — the
     MAP-fit l ~ 4 cm density field is sharp at the surface) walked with
     sign-based iRprop- per-axis steps (RegistrationConfig.step_mode docs).
-    Measured r3: the reference-constants l = 1 m field is too flat and
-    BIASED for cm-scale motion — its density optimum sits ~0.015 m off the
-    true pose regardless of optimizer (that row ships as ref_constants for
-    parity). Two r3 fixes were load-bearing here: full-precision geometry
+    Measured (r3 hypothesis, r4 PROVEN by direct objective sweep,
+    benchmarks/r4_reg_bias.json): the reference-constants l = 1 m field is
+    too flat and BIASED for cm-scale motion — its mean-likelihood argmax
+    sits (0.027, 0.0285, 0.0195) m off the TRUE pose (>= the row's
+    residual), while the calibrated field's argmax is exactly at truth.
+    The ref_constants row's ceiling is therefore structural to the
+    reference's own objective, not an optimizer artifact (that row ships
+    for parity). Two r3 fixes were load-bearing here: full-precision geometry
     matmuls (transforms.py — the backend-default bf16 `points @ R.T` put a
     9 mm quantization floor under every step) and the oscillation-damped
     step rule (a fixed step ping-pongs at its trust radius forever)."""
@@ -485,7 +489,8 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
     # seed scan, then the whole stream — registration density field,
     # incremental training, sanitation, prediction — runs on that ONE
     # consistent set. At the reference constants the l = 1 m density
-    # field's optimum sits ~1.5 cm off the true pose, so every per-scan
+    # field's optimum sits 2-3 cm off the true pose
+    # (benchmarks/r4_reg_bias.json), so every per-scan
     # polish SMEARED the map (measured map chamfer RMSE 0.08-0.09 m);
     # the calibrated sharp field with iRprop- polish registers unperturbed
     # scans to mm drift.
