@@ -483,7 +483,7 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
     # and left the map at 0.157 m chamfer RMSE). reg_stride 4: the polish
     # registers a 37k subsample with proportionally smaller banks.
     mcfg = MappingConfig(min_points_new_patch=50, max_ray_steps=steps,
-                         carve_stride=4, drop_on_reg_cap=False,
+                         carve_stride=8, drop_on_reg_cap=False,
                          reg_stride=4)
     # CALIBRATED mapping (r3): hyperparameters are MAP-fit once on the
     # seed scan, then the whole stream — registration density field,

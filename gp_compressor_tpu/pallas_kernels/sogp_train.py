@@ -57,8 +57,8 @@ def _diag(M):
 
 
 def _kernel(cfg: GPConfig, n_points: int,
-            prm_ref, X_ref, Y_ref, V_ref, bv_in, al_in, C_in, Q_in, act_in,
-            bv_o, al_o, C_o, Q_o, act_o, dC_ref, dQ_ref):
+            prm_ref, cnt_ref, X_ref, Y_ref, V_ref, bv_in, al_in, C_in, Q_in,
+            act_in, bv_o, al_o, C_o, Q_o, act_o, dC_ref, dQ_ref):
     S = cfg.slots
     sigmaf_sq = prm_ref[0, 0]
     l_sq = prm_ref[0, 1]
@@ -200,7 +200,12 @@ def _kernel(cfg: GPConfig, n_points: int,
             delete_inplace(locg, dog)
         return carry
 
-    # initialise outputs from the (aliased) inputs, then loop in place
+    # initialise outputs from the (aliased) inputs, then loop in place.
+    # The trip count is the BLOCK's last valid row + 1 (SMEM): point
+    # validity is per-lane anyway, so rows past every lane's last point
+    # are pure no-ops — mapping banks average well under half the static
+    # bound, and neighbouring (key-sorted) patches have correlated
+    # counts, so the per-block dynamic bound removes ~the padding tail.
     bv_o[:] = bv_in[:]
     al_o[:] = al_in[:]
     C_o[:] = C_in[:]
@@ -208,7 +213,7 @@ def _kernel(cfg: GPConfig, n_points: int,
     act_o[:] = act_in[:]
     dC_ref[:] = _diag(C_in[:].astype(f32))
     dQ_ref[:] = _diag(Q_in[:].astype(f32))
-    lax.fori_loop(0, n_points, body, 0)
+    lax.fori_loop(0, jnp.minimum(cnt_ref[0, 0], n_points), body, 0)
 
 
 def _to_lanes(a, B):
@@ -285,13 +290,22 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
         return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    def kernel_wrap(prm_ref, X_ref, Y_ref, V_ref, bv_ref, alpha_ref, C_ref,
-                    Q_ref, act_ref, bv_o, al_o, C_o, Q_o, act_o,
+    # per-block trip count: last valid row + 1, maxed over the block's
+    # 128 patch lanes (works for any mask pattern, not just prefixes)
+    anyv = jnp.any(mask, axis=1)
+    last = P - 1 - jnp.argmax(mask[:, ::-1], axis=1)
+    n_eff = jnp.where(anyv, last + 1, 0).astype(jnp.int32)
+    nblk_cnt = (B + LANES - 1) // LANES
+    cnt = jnp.max(jnp.pad(n_eff, (0, nblk_cnt * LANES - B))
+                  .reshape(nblk_cnt, LANES), axis=1)[:, None]     # [nblk, 1]
+
+    def kernel_wrap(prm_ref, cnt_ref, X_ref, Y_ref, V_ref, bv_ref, alpha_ref,
+                    C_ref, Q_ref, act_ref, bv_o, al_o, C_o, Q_o, act_o,
                     dC_ref, dQ_ref):
-        kern(prm_ref, X_ref.at[0], Y_ref.at[0], V_ref.at[0], bv_ref.at[0],
-             alpha_ref.at[0], C_ref.at[0], Q_ref.at[0], act_ref.at[0],
-             bv_o.at[0], al_o.at[0], C_o.at[0], Q_o.at[0], act_o.at[0],
-             dC_ref, dQ_ref)
+        kern(prm_ref, cnt_ref, X_ref.at[0], Y_ref.at[0], V_ref.at[0],
+             bv_ref.at[0], alpha_ref.at[0], C_ref.at[0], Q_ref.at[0],
+             act_ref.at[0], bv_o.at[0], al_o.at[0], C_o.at[0], Q_o.at[0],
+             act_o.at[0], dC_ref, dQ_ref)
 
     out_shapes = [
         jax.ShapeDtypeStruct(bvl.shape, dt),
@@ -305,6 +319,8 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
         grid=(nblk,),
         in_specs=[pl.BlockSpec((1, 7), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
                   bspec(Xl.shape[1:]), bspec(Yl.shape[1:]), bspec(Vl.shape[1:]),
                   bspec(bvl.shape[1:]), bspec(al.shape[1:]),
                   bspec(Cl.shape[1:]), bspec(Ql.shape[1:]),
@@ -314,11 +330,11 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
                    bspec(actl.shape[1:])],
         out_shape=out_shapes,
         # alias state inputs onto outputs: halves the VMEM block footprint
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4},
         scratch_shapes=[pltpu.VMEM((cfg.slots, LANES), dt),
                         pltpu.VMEM((cfg.slots, LANES), dt)],
         interpret=interpret,
-    )(prm, Xl, Yl, Vl, bvl, al, Cl, Ql, actl)
+    )(prm, cnt, Xl, Yl, Vl, bvl, al, Cl, Ql, actl)
 
     return SOGPState(
         bv=_from_lanes(bv2, B), alpha=_from_lanes(a2, B),

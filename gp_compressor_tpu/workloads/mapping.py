@@ -420,12 +420,17 @@ def map_insert(state: MapState, points, colors, valid,
                                 key_to_leaf.shape[0] - 1)], -1)
     store = (~claimed) & valid & in_box & (home_gid >= 0) \
         & ~created[jnp.maximum(home_gid, 0)]
-    # rank within home voxel
+    # rank within home voxel: position minus the segment's first position,
+    # read off the SORTED keys with a running max over change points — an
+    # N-query searchsorted here cost ~75 ms/insert at 150k points (the
+    # tunnel-measured bad scaling, CLAUDE.md) for a value a cummax gets
+    # in ~1 ms
     order = jnp.argsort(jnp.where(store, home_gid, B), stable=True)
     sc = jnp.where(store, home_gid, B)[order]
-    first = jnp.searchsorted(sc, sc, side='left')
-    rank = jnp.zeros(N, jnp.int32).at[order].set(
-        (jnp.arange(N) - first).astype(jnp.int32))
+    iota = jnp.arange(N, dtype=jnp.int32)
+    chg = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = jax.lax.cummax(jnp.where(chg, iota, 0))
+    rank = jnp.zeros(N, jnp.int32).at[order].set(iota - first)
     slot = pend_count[jnp.maximum(home_gid, 0)] + rank
     okp = store & (slot < Pp)
     pflat = jnp.where(okp, home_gid * Pp + slot, B * Pp)
