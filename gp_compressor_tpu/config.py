@@ -260,11 +260,12 @@ class MappingConfig:
     # unchanged while shrinking the claims/rebank passes AND (with
     # RegistrationConfig.bank_points) the per-step bank by ~4x. 1 =
     # register the full scan (reference cadence).
-    spill_bank: int = 64
+    spill_bank: int = 128
     # Width of the overflow training bank: claimed points whose in-patch
     # rank exceeds max_points_per_patch land here instead of being
     # silently dropped (the reference inserts EVERY claimed point,
-    # src/gp_mapping.cpp:293-343; r3 dropped 1784/stream). The spill
+    # src/gp_mapping.cpp:293-343; r3 dropped 1784/stream; width 64 still
+    # dropped 96 at the bench densities — 128 measures zero). The spill
     # train pass is lax.cond-gated, so the steady state (no patch over
     # the main bound) pays nothing. 0 disables (r3 behaviour); points
     # beyond max_points_per_patch + spill_bank are still counted dropped.

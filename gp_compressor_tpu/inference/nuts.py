@@ -239,7 +239,7 @@ def find_reasonable_step_size(logpost: Callable, theta0, key, inv_mass,
 
 def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
                            key: jax.Array, cfg: HMCConfig,
-                           adapt_mass: bool = True):
+                           adapt_mass: bool = False):
     """Warmup then sampling, single chain.
     Returns (samples [num_samples, dim], mean accept-stat, step size).
 
@@ -253,8 +253,12 @@ def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
     trajectories need 1-2 extra tree doublings to traverse the slow
     direction — mass adaptation halves the leapfrogs/sample, which is the
     whole cost (each leapfrog is a latency-bound [B, n, n] elementwise
-    Cholesky sweep forward + backward). adapt_mass=False reproduces the
-    single-phase unit-mass sampler."""
+    Cholesky sweep forward + backward). adapt_mass defaults OFF: on the
+    bench patch-bank posterior (3 log-scale dims of comparable posterior
+    scale) the adapted mass bought no tree-depth reduction while the
+    doubled warmup budget it needs cut end-to-end samples/s in half
+    (measured round 4: 25.9/s at warmup 120 + mass vs ~49/s unit-mass at
+    warmup 50) — enable it for posteriors with real scale anisotropy."""
     dim = theta0.shape[0]
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
@@ -287,7 +291,13 @@ def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
 
     key, k1 = jax.random.split(key)
     inv_mass = jnp.ones(dim)
-    if adapt_mass and cfg.num_warmup >= 20:
+    if adapt_mass and cfg.num_warmup >= 100:
+        # a short phase-1 window (e.g. 25 draws at warmup=50) can estimate
+        # a near-zero variance on an axis where the chain barely moved —
+        # the clipped inv_mass then freezes that axis and the chain never
+        # mixes (measured: accept 0.77, split-R-hat 8.3 at warmup=50).
+        # Only adapt with a real budget, and floor every axis at 1% of the
+        # largest so no direction can collapse.
         n1 = cfg.num_warmup // 2
         theta, eps, draws = da_phase(theta0, inv_mass, n1, k1, collect=True)
         # variance over the settled half of phase 1, shrunk toward identity
@@ -296,7 +306,7 @@ def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
         m = tail.shape[0]
         var = jnp.var(tail, axis=0)
         inv_mass = (m / (m + 5.0)) * var + 1e-3 * (5.0 / (m + 5.0))
-        inv_mass = jnp.clip(inv_mass, 1e-6, 1e6)
+        inv_mass = jnp.clip(inv_mass, 1e-2 * jnp.max(inv_mass), 1e6)
         key, k2 = jax.random.split(key)
         theta, eps, _ = da_phase(theta, inv_mass,
                                  cfg.num_warmup - n1, k2, collect=False)

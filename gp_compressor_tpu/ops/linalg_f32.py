@@ -31,6 +31,12 @@ from jax import lax
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Unroll factor for the sequential column/row loops. The loops are
+# latency-bound (per-iteration control overhead dominates the [B, n]-sized
+# elementwise work on TPU); unrolling lets XLA fuse runs of iterations
+# into straight-line kernels. 8 keeps compile time sane at n <= 128.
+_UNROLL = 8
+
 # All three routines carry CLOSED-FORM custom VJPs (Murray 2016, "Differen-
 # tiation of the Cholesky decomposition", and the standard triangular-solve
 # adjoints). Without them, reverse AD of the fori_loop forward unrolls an
@@ -55,7 +61,7 @@ def _chol_impl(K: jnp.ndarray) -> jnp.ndarray:
         A = A.at[:, j].set(col)
         return A
 
-    L = lax.fori_loop(0, n, body, K)
+    L = lax.fori_loop(0, n, body, K, unroll=_UNROLL)
     return jnp.tril(L)
 
 
@@ -67,7 +73,7 @@ def _solve_lower_impl(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         xi = (b[i] - s) / L[i, i]
         return x.at[i].set(xi)
 
-    return lax.fori_loop(0, n, body, jnp.zeros_like(b))
+    return lax.fori_loop(0, n, body, jnp.zeros_like(b), unroll=_UNROLL)
 
 
 def _solve_lower_t_impl(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +85,7 @@ def _solve_lower_t_impl(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         xi = (b[i] - s) / L[i, i]
         return x.at[i].set(xi)
 
-    return lax.fori_loop(0, n, body, jnp.zeros_like(b))
+    return lax.fori_loop(0, n, body, jnp.zeros_like(b), unroll=_UNROLL)
 
 
 @jax.custom_vjp

@@ -213,7 +213,8 @@ def _kernel(cfg: GPConfig, n_points: int,
     act_o[:] = act_in[:]
     dC_ref[:] = _diag(C_in[:].astype(f32))
     dQ_ref[:] = _diag(Q_in[:].astype(f32))
-    lax.fori_loop(0, jnp.minimum(cnt_ref[0, 0], n_points), body, 0)
+    n_eff = jnp.minimum(cnt_ref[0, pl.program_id(0)], n_points)
+    lax.fori_loop(0, n_eff, body, 0)
 
 
 def _to_lanes(a, B):
@@ -297,7 +298,7 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
     n_eff = jnp.where(anyv, last + 1, 0).astype(jnp.int32)
     nblk_cnt = (B + LANES - 1) // LANES
     cnt = jnp.max(jnp.pad(n_eff, (0, nblk_cnt * LANES - B))
-                  .reshape(nblk_cnt, LANES), axis=1)[:, None]     # [nblk, 1]
+                  .reshape(nblk_cnt, LANES), axis=1)[None, :]     # [1, nblk]
 
     def kernel_wrap(prm_ref, cnt_ref, X_ref, Y_ref, V_ref, bv_ref, alpha_ref,
                     C_ref, Q_ref, act_ref, bv_o, al_o, C_o, Q_o, act_o,
@@ -319,7 +320,10 @@ def add_points_batch_pallas(kp: RBFParams, cfg: GPConfig, states: SOGPState,
         grid=(nblk,),
         in_specs=[pl.BlockSpec((1, 7), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1), lambda i: (i, 0),
+                  # full [1, nblk] row in SMEM (TPU block shapes must
+                  # equal the array dims here); the kernel indexes its
+                  # block's count by pl.program_id
+                  pl.BlockSpec((1, nblk), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   bspec(Xl.shape[1:]), bspec(Yl.shape[1:]), bspec(Vl.shape[1:]),
                   bspec(bvl.shape[1:]), bspec(al.shape[1:]),
