@@ -495,8 +495,8 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
     # the calibrated sharp field with iRprop- polish registers unperturbed
     # scans to mm drift.
     from gp_compressor_tpu.workloads import compressor as compressor_mod
-    rcfg = RegistrationConfig(max_steps=10, min_steps=2, step_mode="rprop",
-                              bank_points=96)
+    rcfg = RegistrationConfig(max_steps=8, min_steps=2, step_mode="rprop",
+                              bank_points=64)
     state = mapping.map_init(cfg, mcfg, lo, hi, dtype=pts.dtype)
 
     n_scans, Ns = 4, 150_000

@@ -145,7 +145,8 @@ def _linkey(state: MapState, res, points):
 def map_insert(state: MapState, points, colors, valid,
                cfg: CompressorConfig, mcfg: MappingConfig,
                key: jax.Array, min_nbr, use_pallas: bool = False,
-               depth_kp=None, depth_s20=None, depth_eps=None) -> MapState:
+               depth_kp=None, depth_s20=None, depth_eps=None,
+               cached_tables=None) -> MapState:
     """insert_into_map + train_processes (src/gp_mapping.cpp:37-152,293-343).
 
     `points` must already be in world/map coordinates (the caller applies
@@ -154,6 +155,15 @@ def map_insert(state: MapState, points, colors, valid,
     it is a traced scalar so the first-scan switch costs no retrace.
     use_pallas routes the incremental GP training through the fused
     VMEM-resident kernel (TPU only).
+
+    cached_tables: optional slot-space ClaimTables built from the
+    PRE-insert map (registration.{_map_claim_tables} — the same tables
+    the per-scan registration already built). The table build is a
+    ~50 ms fixed cost per pass at bench scale, and in the tracked steady
+    state (no new leaves, no new patches, no sanitized-but-created
+    patches) the pre-insert tables are exactly the insert's tables, so
+    they are reused under a lax.cond on that condition; any change falls
+    back to a fresh build.
 
     Returns (MapState, info) where info carries the silent-truncation
     counters (SURVEY §5 observability; VERDICT r2 weak #8):
@@ -255,9 +265,30 @@ def map_insert(state: MapState, points, colors, valid,
     trained_p = jnp.concatenate([trained_or_new, jnp.zeros((1,), bool)])
     ids_p = jnp.concatenate([leaf_ids, jnp.asarray([B], jnp.int32)])
 
-    claim, loc_claim, claimed = registration.claim_to_patches(
-        grid, rot_p, mean_p, trained_p, points, valid, cfg.patch.res,
-        leaf_ids=ids_p)
+    if cached_tables is None or grid.table is None:
+        claim, loc_claim, claimed = registration.claim_to_patches(
+            grid, rot_p, mean_p, trained_p, points, valid, cfg.patch.res,
+            leaf_ids=ids_p)
+    else:
+        # slot-space tables; reuse the pre-insert ones when they are
+        # provably identical: no new leaf entered the grid, no patch was
+        # created this insertion, and the registration tables' trained
+        # set (GP size > 0) equals `created` (a sanitized-but-created
+        # patch breaks that equality)
+        ids_c = jnp.minimum(leaf_ids, B)
+        reuse_ok = (~jnp.any(is_new & ~overflow)) & (~jnp.any(becomes)) \
+            & jnp.all((sparse_gp.size(state.depth_gp) > 0) == state.created)
+
+        def fresh(_):
+            return registration.build_claim_tables(
+                grid, rot_p[ids_c], mean_p[ids_c],
+                trained_p[ids_c] & (jnp.arange(B) < n_patches))
+
+        tables = jax.lax.cond(reuse_ok, lambda _: cached_tables, fresh, None)
+        claim_slot, loc_claim, claimed = registration.claim_with_tables(
+            tables, grid, points, valid, cfg.patch.res, out_fill=B)
+        # slot -> gp_index (ids_p[B] = B keeps the unclaimed fill)
+        claim = ids_p[jnp.minimum(claim_slot, B)]
 
     # pending points of newly-created patches also join (projected through
     # the fresh frame; transform_to_new consumes to_be_added,
@@ -696,11 +727,15 @@ def add_cloud_fused(state: MapState, points, colors, valid,
     pts = transforms.apply(points, state.R_cloud, state.t_cloud)
     diverged = jnp.asarray(False)
     reg_steps = jnp.asarray(0, jnp.int32)
+    tables = None
 
     if register_scan:
         comp = _map_as_compressed(state, cfg)
         has_map = state.n_patches > 0
         k = mcfg.reg_stride
+        # one table build serves the whole scan: the registration loop
+        # AND (in the tracked steady state) the insert's claims pass
+        tables = registration._map_claim_tables(comp)
 
         def do_reg(_):
             # register a strided subsample, then carry the recovered pose
@@ -711,7 +746,7 @@ def add_cloud_fused(state: MapState, points, colors, valid,
             # registration converged on as per-scan motion grows.
             rstate, sub = registration.register(
                 comp, pts[::k], colors[::k], valid[::k], cfg, rcfg,
-                depth_kp=depth_kp, depth_s20=depth_s20)
+                depth_kp=depth_kp, depth_s20=depth_s20, tables=tables)
             moved = pts if k == 1 else transforms.apply(
                 pts, rstate.R_cloud, rstate.t_exact)
             return rstate, (sub if k == 1 else moved)
@@ -741,7 +776,7 @@ def add_cloud_fused(state: MapState, points, colors, valid,
         lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
                              min_nbr, use_pallas=use_pallas,
                              depth_kp=depth_kp, depth_s20=depth_s20,
-                             depth_eps=depth_eps),
+                             depth_eps=depth_eps, cached_tables=tables),
         None)
     return state, diverged, reg_steps, info
 

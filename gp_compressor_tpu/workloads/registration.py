@@ -500,7 +500,8 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
              cfg: CompressorConfig,
              rcfg: RegistrationConfig = RegistrationConfig(),
              init: RegistrationState = None,
-             depth_kp: RBFParams = None, depth_s20=None, mesh=None):
+             depth_kp: RBFParams = None, depth_s20=None, mesh=None,
+             tables: ClaimTables = None):
     """Full registration loop under lax.while_loop (add_cloud +
     registration_step until registration_done, src/gp_registration.cpp:60-92,
     gp_mapping::add_cloud loop src/gp_mapping.cpp:18-20).
@@ -537,8 +538,11 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     init_step = state.step_nbr
     # apply any initial pose
     pts0 = transforms.apply(scan_points, state.R_cloud, state.t_cloud)
-    # candidate tables are invariant across the gradient loop
-    tables = _map_claim_tables(comp)
+    # candidate tables are invariant across the gradient loop (and across
+    # the whole register->insert scan when the map's leaf/trained sets
+    # did not change — the caller may pass them prebuilt)
+    if tables is None:
+        tables = _map_claim_tables(comp)
     batch = comp.patch
     B = batch.rotations.shape[0]
     # bank_points caps the per-patch registration bank: _bank_step's cost

@@ -357,3 +357,46 @@ def test_spill_bank_trains_overflow_points():
     # and the map they predict is at least as good on the source cloud
     w_s, c_s, ok_s = mapping.map_cloud(st_spill, cfg)
     assert bool(np.isfinite(np.asarray(w_s)[np.asarray(ok_s)]).all())
+
+
+def test_cached_claim_tables_match_fresh_build():
+    """map_insert with the pre-insert (registration) claim tables must
+    produce exactly the same state as the fresh per-insert build, both
+    when the steady-state reuse condition fires and when it cannot."""
+    from gp_compressor_tpu.workloads import registration
+
+    state = _fresh_map()
+    pts, cols, valid = _cloud(5000, 0)
+    state, _ = mapping.map_insert(state, pts, cols, valid, CFG, MCFG,
+                                  jax.random.key(0), jnp.asarray(1, jnp.int32))
+
+    # steady state: same cloud again -> no new leaves, no new patches
+    pts2, cols2, valid2 = _cloud(5000, 1)
+    comp = mapping._map_as_compressed(state, CFG)
+    tables = registration._map_claim_tables(comp)
+
+    st_plain, info_p = mapping.map_insert(
+        state, pts2, cols2, valid2, CFG, MCFG, jax.random.key(1),
+        jnp.asarray(40, jnp.int32))
+    st_cache, info_c = mapping.map_insert(
+        state, pts2, cols2, valid2, CFG, MCFG, jax.random.key(1),
+        jnp.asarray(40, jnp.int32), cached_tables=tables)
+
+    for a, b in zip(jax.tree.leaves(st_plain), jax.tree.leaves(st_cache)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in info_p:
+        assert int(info_p[k]) == int(info_c[k])
+
+    # growth case (new leaves appear): reuse must fall back to fresh
+    pts3 = jnp.concatenate([pts2, pts2 + jnp.asarray([2.5, 0.0, 0.0],
+                                                     pts2.dtype)])
+    cols3 = jnp.concatenate([cols2, cols2])
+    valid3 = jnp.ones(pts3.shape[0], bool)
+    st_plain3, _ = mapping.map_insert(
+        state, pts3, cols3, valid3, CFG, MCFG, jax.random.key(2),
+        jnp.asarray(40, jnp.int32))
+    st_cache3, _ = mapping.map_insert(
+        state, pts3, cols3, valid3, CFG, MCFG, jax.random.key(2),
+        jnp.asarray(40, jnp.int32), cached_tables=tables)
+    for a, b in zip(jax.tree.leaves(st_plain3), jax.tree.leaves(st_cache3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
