@@ -482,6 +482,9 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
     # drop_on_reg_cap=False (measured: the default dropped 3 of 4 scans
     # and left the map at 0.157 m chamfer RMSE). reg_stride 4: the polish
     # registers a 37k subsample with proportionally smaller banks.
+    # reg_stride 8 measured identical scans/s and map_rmse to 4 (the
+    # insert body, not registration, is the per-scan cost) — keep the
+    # statistically safer 4
     mcfg = MappingConfig(min_points_new_patch=50, max_ray_steps=steps,
                          carve_stride=8, drop_on_reg_cap=False,
                          reg_stride=4)
