@@ -138,3 +138,26 @@ def test_geometric_novelty_parity_and_selection():
             d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
             np.fill_diagonal(d, np.inf)
             assert d.min() >= cfg.geom_dmin - 1e-6
+
+
+def test_traced_geom_override_matches_static_config():
+    """The traced (dmin, max_bv, gamma_min) SMEM overrides must reproduce
+    the static-config geometric mode bit-for-bit (sweeps rely on this to
+    share one compile)."""
+    r = np.random.default_rng(3)
+    B, P = 130, 24
+    cfg = GPConfig(capacity=14, slots=16, dout=1, dtype=jnp.float32,
+                   novelty_mode="geometric", geom_dmin=0.05, geom_max_bv=3,
+                   geom_gamma_min_rel=1e-2)
+    X = jnp.asarray(r.uniform(-0.075, 0.075, size=(B, P, 2)), jnp.float32)
+    Y = jnp.asarray(0.01 * r.normal(size=(B, P, 1)), jnp.float32)
+    mask = jnp.ones((B, P), bool)
+    st_static = sogp_train.add_points_batch_pallas(
+        KP, cfg, sparse_gp.init_batch(cfg, B), X, Y, mask, interpret=True)
+    geom = (jnp.asarray(0.05, jnp.float32), jnp.asarray(3.0, jnp.float32),
+            jnp.asarray(1e-2, jnp.float32))
+    st_traced = sogp_train.add_points_batch_pallas(
+        KP, cfg, sparse_gp.init_batch(cfg, B), X, Y, mask, interpret=True,
+        geom=geom)
+    for a, b in zip(jax.tree.leaves(st_static), jax.tree.leaves(st_traced)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
