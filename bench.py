@@ -109,13 +109,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        # persistent executable cache: repeat bench runs (and the driver's
-        # final run, if /tmp survives) skip the 20-300 s remote compiles
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gptpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from gp_compressor_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
     from gp_compressor_tpu.config import (CompressorConfig, GPConfig,
                                           KSVDConfig, PatchConfig,
@@ -484,7 +479,9 @@ def bench_mapping(pts, cols, valid, cfg, comp, use_pallas):
     # registers a 37k subsample with proportionally smaller banks.
     # reg_stride 8 measured identical scans/s and map_rmse to 4 (the
     # insert body, not registration, is the per-scan cost) — keep the
-    # statistically safer 4
+    # statistically safer 4. carve_stride=8 is the measured latency fix
+    # for the carve walk (config.py: stride 4-8 map_rmse statistically
+    # identical; stride 4 costs ~60 ms/scan of DDA steps vs ~half that).
     mcfg = MappingConfig(min_points_new_patch=50, max_ray_steps=steps,
                          carve_stride=8, drop_on_reg_cap=False,
                          reg_stride=4)

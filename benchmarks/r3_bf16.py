@@ -31,11 +31,8 @@ from gp_compressor_tpu.workloads import compressor
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gptpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from gp_compressor_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     pts_np, cols_np = synthetic.room_cloud(n=bench.N_POINTS, seed=0)
     pts = jnp.asarray(pts_np)
     cols = jnp.asarray(cols_np)

@@ -24,11 +24,8 @@ from gp_compressor_tpu.workloads import compressor, registration
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gptpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from gp_compressor_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     step = float(sys.argv[2]) if len(sys.argv) > 2 else 0.005
     reclaim = int(sys.argv[3]) if len(sys.argv) > 3 else 4

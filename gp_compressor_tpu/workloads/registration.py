@@ -536,8 +536,12 @@ def register(comp: CompressedCloud, scan_points, scan_colors, scan_valid,
     # state with step_nbr not a multiple of reclaim_every still banks on
     # the first body iteration instead of stepping on all-zero banks
     init_step = state.step_nbr
-    # apply any initial pose
-    pts0 = transforms.apply(scan_points, state.R_cloud, state.t_cloud)
+    # apply any initial pose with the EXACT translation: the t_exact
+    # recursion below continues from state.t_exact, so the points iterated
+    # must be the ones (R_cloud, t_exact) produces — applying the plain-sum
+    # t_cloud here would break the documented invariant for resumed states
+    # (for init=None both are zero, so the fresh path is unchanged)
+    pts0 = transforms.apply(scan_points, state.R_cloud, state.t_exact)
     # candidate tables are invariant across the gradient loop (and across
     # the whole register->insert scan when the map's leaf/trained sets
     # did not change — the caller may pass them prebuilt)

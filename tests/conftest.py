@@ -25,21 +25,10 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: repeated test sessions (and the CLI
 # subprocess smoke tests) skip recompiles. The dir is keyed by the host's
-# CPU model: /tmp can survive into a session on DIFFERENT hardware, and
-# XLA:CPU loads foreign AOT entries with only a warning — round 4 lost an
-# hour to a stale cache producing wrong numerics ("machine type doesn't
-# match ... could lead to execution errors such as SIGILL").
-import hashlib
-import platform
+# CPU model (utils/cache.py): /tmp can survive into a session on DIFFERENT
+# hardware, and XLA:CPU loads foreign AOT entries with only a warning —
+# round 4 lost an hour to a stale cache producing wrong numerics ("machine
+# type doesn't match ... could lead to execution errors such as SIGILL").
+from gp_compressor_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 
-_sig = platform.machine()
-try:
-    with open("/proc/cpuinfo") as _f:
-        _sig += "".join(l for l in _f
-                        if l.startswith(("model name", "flags")))[:4096]
-except OSError:
-    pass
-_tag = hashlib.sha1(_sig.encode()).hexdigest()[:8]
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/gptpu_jax_cache_cpu_{_tag}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+setup_compilation_cache(min_compile_secs=1.0)
