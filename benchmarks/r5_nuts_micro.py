@@ -77,6 +77,7 @@ def main():
     X, y, m = synth_bank()
     theta0 = jnp.asarray([np.log(100.0), 0.0, np.log(0.1)], X.dtype)
     out = {"device": str(jax.devices()[0])}
+    e2e_only = "e2e" in sys.argv[1:]
 
     variants = {}
 
@@ -116,7 +117,7 @@ def main():
     lp2 = hmc.make_patch_logpost(X, y, m)
     variants["v2_unroll_full"] = nuts._safe_vag(lp2)
 
-    for name in list(variants):
+    for name in (() if e2e_only else list(variants)):
         vag = variants[name]
         if name == "v2_unroll_full":
             linalg_f32._UNROLL = 64

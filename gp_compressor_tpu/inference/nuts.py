@@ -22,6 +22,27 @@ from jax import lax
 from gp_compressor_tpu.config import HMCConfig
 
 
+def _mv(inv_mass, p):
+    """inv_mass @ p — inv_mass is a [dim] diagonal or a [dim, dim] DENSE
+    inverse metric (posterior covariance estimate). Dense is the cure for
+    the patch-bank posterior's correlated ridge: with a unit metric the
+    bench transitions averaged ~80 leapfrogs (measured r5); the metric is
+    3x3, so the extra matvec is free."""
+    if inv_mass.ndim == 2:
+        return jnp.matmul(inv_mass, p, precision=jax.lax.Precision.HIGHEST)
+    return inv_mass * p
+
+
+def _sample_momentum(key, inv_mass, dim, dtype=jnp.float32):
+    """p ~ N(0, inv_mass^-1) for either metric form."""
+    z = jax.random.normal(key, (dim,), dtype)
+    if inv_mass.ndim == 2:
+        from gp_compressor_tpu.ops import linalg_f32
+        L = linalg_f32.cholesky(inv_mass)       # inv_mass = L L^T
+        return linalg_f32.solve_lower_t(L, z)   # cov(p) = (L L^T)^-1
+    return z / jnp.sqrt(inv_mass)
+
+
 class _Z(NamedTuple):
     theta: jnp.ndarray
     p: jnp.ndarray
@@ -29,7 +50,7 @@ class _Z(NamedTuple):
     grad: jnp.ndarray
 
     def energy(self, inv_mass):
-        return self.logp - 0.5 * jnp.sum(inv_mass * self.p * self.p)
+        return self.logp - 0.5 * jnp.sum(self.p * _mv(inv_mass, self.p))
 
 
 def _safe_vag(logpost):
@@ -57,7 +78,7 @@ def _safe_vag(logpost):
 
 def _leapfrog(lg, z: _Z, eps, inv_mass) -> _Z:
     p = z.p + 0.5 * eps * z.grad
-    theta = z.theta + eps * inv_mass * p
+    theta = z.theta + eps * _mv(inv_mass, p)
     logp, grad = lg(theta)
     p = p + 0.5 * eps * grad
     return _Z(theta, p, logp, grad)
@@ -65,132 +86,143 @@ def _leapfrog(lg, z: _Z, eps, inv_mass) -> _Z:
 
 def _uturn(theta_m, p_m, theta_p, p_p, inv_mass):
     d = theta_p - theta_m
-    return (jnp.sum(d * (inv_mass * p_m)) < 0.0) | \
-           (jnp.sum(d * (inv_mass * p_p)) < 0.0)
+    return (jnp.sum(d * _mv(inv_mass, p_m)) < 0.0) | \
+           (jnp.sum(d * _mv(inv_mass, p_p)) < 0.0)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
 def nuts_step(logpost: Callable, theta0, key, eps, inv_mass,
               max_depth: int = 8):
     """One NUTS transition. Returns (theta, accept_stat, n_leapfrog).
 
-    The doubling loop is a `lax.while_loop` over a DYNAMIC depth: a
-    trajectory that U-turns at depth d costs 2^(d+1)-1 leapfrogs, not the
-    2^max_depth-1 an unrolled loop would always pay. Typical trees stop at
-    depth 2-4, so this is ~10-60x fewer model-gradient evaluations per
-    transition than the fully-unrolled form (under vmap the loop runs until
-    the slowest chain finishes — still the max over chains, not 2^max)."""
+    FLAT iterative formulation: ONE `lax.while_loop` whose body is exactly
+    one leapfrog plus O(max_depth) statically-unrolled predicated
+    bookkeeping ops. The earlier nested form (doubling while_loop -> leaf
+    fori_loop -> per-leaf dynamic U-turn fori_loop) spent ~8x the leapfrog
+    cost in loop machinery on this backend (measured round 5,
+    benchmarks/r5_nuts_micro.json: 0.57 ms per logpost value_and_grad vs
+    ~116 ms per transition at ~25 leapfrogs/transition); three nested
+    dynamic loops per leaf collapse to one loop iteration per leapfrog.
+
+    Semantics are the same dynamic-trajectory multinomial NUTS (Betancourt
+    2017): subtree j has 2^j leaves; the doubling boundary work (direction
+    draw, biased trajectory acceptance, endpoint update, whole-trajectory
+    U-turn test) runs predicated on the subtree-complete flag. Sub-U-turn
+    checks index the current subtree's state buffer ([2^(max_depth-1), dim]
+    — leaves 0..i_sub of the ACTIVE subtree only, so no cross-subtree
+    staleness). A subtree that turns or diverges mid-build exits
+    immediately (the nested form burned the remaining leaves of the
+    subtree; both discard it unmerged)."""
     lg = _safe_vag(logpost)
     dim = theta0.shape[0]
-    Lmax = 1 << max_depth
+    Smax = 1 << max(max_depth - 1, 0)         # largest subtree's leaf count
 
-    kp, key = jax.random.split(key)
-    p0 = jax.random.normal(kp, (dim,)) / jnp.sqrt(inv_mass)
+    kp, kd0, key = jax.random.split(key, 3)
+    p0 = _sample_momentum(kp, inv_mass, dim, theta0.dtype)
     logp0, grad0 = lg(theta0)
     z0 = _Z(theta0, p0, logp0, grad0)
     H0 = z0.energy(inv_mass)
 
-    # trajectory state
     class Carry(NamedTuple):
+        # trajectory level
         z_minus: _Z
         z_plus: _Z
         z_sample: _Z
-        log_w_total: jnp.ndarray   # log sum of subtree weights so far
-        turning: jnp.ndarray
+        log_w_total: jnp.ndarray   # log sum of merged subtree weights
+        stop: jnp.ndarray
         diverged: jnp.ndarray
         sum_acc: jnp.ndarray       # accept-stat accumulator
         n_lf: jnp.ndarray
-        depth: jnp.ndarray
-        key: jax.Array
+        depth: jnp.ndarray         # subtrees completed so far
+        # current-subtree level
+        z_cur: _Z                  # last integrated state
+        i_sub: jnp.ndarray         # leaves already completed in the subtree
+        go_right: jnp.ndarray
+        z_prop: _Z                 # subtree's multinomial proposal
+        log_w_sub: jnp.ndarray
+        thetas: jnp.ndarray        # [Smax, dim] subtree state buffer
+        ps: jnp.ndarray
 
-    carry = Carry(z0, z0, z0, jnp.asarray(0.0), jnp.asarray(False),
-                  jnp.asarray(False), jnp.asarray(0.0),
-                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), key)
+    carry0 = Carry(
+        z0, z0, z0, jnp.asarray(0.0), jnp.asarray(False), jnp.asarray(False),
+        jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        z0, jnp.asarray(0, jnp.int32), jax.random.bernoulli(kd0), z0,
+        jnp.asarray(-jnp.inf), jnp.zeros((Smax, dim), theta0.dtype),
+        jnp.zeros((Smax, dim), theta0.dtype))
 
-    # buffers for the current subtree's states
-    def build_and_merge(carry: Carry):
-        depth = carry.depth
-        n = jnp.left_shift(1, depth)                  # dynamic subtree size
-        kdir, ksel, kin, knext = jax.random.split(carry.key, 4)
-        go_right = jax.random.bernoulli(kdir)
-        z_start = jax.tree.map(
-            lambda a, b: jnp.where(go_right, a, b), carry.z_plus,
-            carry.z_minus)
-        step_eps = jnp.where(go_right, eps, -eps)
-        dirsign = jnp.where(go_right, 1.0, -1.0)
+    def body(c: Carry) -> Carry:
+        k_take, k_acc, k_dir = jax.random.split(
+            jax.random.fold_in(key, c.n_lf), 3)
+        step_eps = jnp.where(c.go_right, eps, -eps)
+        dirsign = jnp.where(c.go_right, 1.0, -1.0)
 
-        thetas0 = jnp.zeros((Lmax, dim))
-        ps0 = jnp.zeros((Lmax, dim))
+        z = _leapfrog(lg, c.z_cur, step_eps, inv_mass)
+        dh = z.energy(inv_mass) - H0
+        div = dh < -1000.0
+        lw = jnp.where(jnp.isfinite(dh), dh, -jnp.inf)
+        # progressive multinomial sampling within the subtree
+        log_w_sub = jnp.logaddexp(c.log_w_sub, lw)
+        take = jnp.log(jax.random.uniform(k_take)) < (lw - log_w_sub)
+        z_prop = _tree_where(take, z, c.z_prop)
+        sum_acc = c.sum_acc + jnp.minimum(1.0, jnp.exp(dh))
+        i = c.i_sub
+        thetas = c.thetas.at[i].set(z.theta)
+        ps = c.ps.at[i].set(z.p)
 
-        def leaf(i, st):
-            (z, thetas, ps, log_w, z_prop, turning, diverged, sum_acc,
-             rng) = st
-            z = _leapfrog(lg, z, step_eps, inv_mass)
-            h = z.energy(inv_mass)
-            dh = h - H0
-            div = dh < -1000.0
-            lw = jnp.where(jnp.isfinite(dh), dh, -jnp.inf)
-            # progressive multinomial sampling within the subtree
-            log_w_new = jnp.logaddexp(log_w, lw)
-            rng, ks = jax.random.split(rng)
-            take = jnp.log(jax.random.uniform(ks)) < (lw - log_w_new)
-            z_prop = jax.tree.map(
-                lambda a, b: jnp.where(take, a, b), z, z_prop)
-            sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(dh))
-            thetas = thetas.at[i].set(z.theta)
-            ps = ps.at[i].set(z.p)
+        # sub-U-turn checks, statically unrolled: leaf i closes blocks of
+        # size 2^k whenever (i+1) % 2^k == 0 (which implies 2^k <= the
+        # current subtree size); compare against the block's first leaf.
+        # The U-turn displacement must be in TIME order: for a backward
+        # subtree the first-integrated leaf is the latest in time, so the
+        # sign flips with the direction.
+        sub_turn = jnp.asarray(False)
+        for k in range(1, max_depth):
+            blk = 1 << k
+            closes = ((i + 1) % blk) == 0
+            first = jnp.maximum(i + 1 - blk, 0)
+            d = (z.theta - thetas[first]) * dirsign
+            ut = (jnp.sum(d * _mv(inv_mass, ps[first])) < 0.0) | \
+                 (jnp.sum(d * _mv(inv_mass, z.p)) < 0.0)
+            sub_turn = sub_turn | (closes & ut)
 
-            # sub-U-turn checks: leaf i closes blocks of size 2^k whenever
-            # (i+1) % 2^k == 0; compare against the block's first leaf
-            def check(k, t):
-                blk = jnp.left_shift(1, k)
-                closes = ((i + 1) % blk) == 0
-                first = i + 1 - blk
-                th_f = thetas[jnp.maximum(first, 0)]
-                p_f = ps[jnp.maximum(first, 0)]
-                # the U-turn displacement must be in TIME order: for a
-                # backward subtree the first-integrated leaf is the latest
-                # in time, so the sign flips with the direction
-                d = (z.theta - th_f) * dirsign
-                ut = (jnp.sum(d * (inv_mass * p_f)) < 0.0) | \
-                     (jnp.sum(d * (inv_mass * z.p)) < 0.0)
-                return t | (closes & ut)
+        n_sub = jnp.left_shift(1, c.depth)
+        done_leaves = (i + 1) >= n_sub
+        bad = sub_turn | div
+        sub_done = done_leaves | bad
 
-            turning = lax.fori_loop(1, depth + 1, check, turning)
-            diverged = diverged | div
-            return (z, thetas, ps, log_w_new, z_prop, turning, diverged,
-                    sum_acc, rng)
-
-        st0 = (z_start, thetas0, ps0, jnp.asarray(-jnp.inf), z_start,
-               jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0), kin)
-        (z_end, thetas, ps, log_w_sub, z_prop, sub_turning, diverged,
-         sum_acc_sub, _) = lax.fori_loop(0, n, leaf, st0)
-
+        # ---- doubling-boundary work, predicated on subtree completion.
         # biased trajectory sampling between old trajectory and new subtree
-        accept_sub = jnp.log(jax.random.uniform(ksel)) < \
-            (log_w_sub - carry.log_w_total)
-        ok = ~(sub_turning | diverged)
-        z_sample = jax.tree.map(
-            lambda a, b: jnp.where(accept_sub & ok, a, b), z_prop,
-            carry.z_sample)
-        log_w_total = jnp.where(ok, jnp.logaddexp(carry.log_w_total,
-                                                  log_w_sub),
-                                carry.log_w_total)
-
-        z_minus = jax.tree.map(lambda a, b: jnp.where(go_right | ~ok, a, b),
-                               carry.z_minus, z_end)
-        z_plus = jax.tree.map(lambda a, b: jnp.where(go_right & ok, a, b),
-                              z_end, carry.z_plus)
+        ok = done_leaves & ~bad
+        accept_sub = jnp.log(jax.random.uniform(k_acc)) < \
+            (log_w_sub - c.log_w_total)
+        z_sample = _tree_where(ok & accept_sub, z_prop, c.z_sample)
+        log_w_total = jnp.where(
+            ok, jnp.logaddexp(c.log_w_total, log_w_sub), c.log_w_total)
+        z_minus = _tree_where(c.go_right | ~ok, c.z_minus, z)
+        z_plus = _tree_where(c.go_right & ok, z, c.z_plus)
         whole_turn = _uturn(z_minus.theta, z_minus.p, z_plus.theta,
                             z_plus.p, inv_mass)
-        turning = carry.turning | sub_turning | whole_turn | diverged
-        return Carry(z_minus, z_plus, z_sample, log_w_total, turning,
-                     carry.diverged | diverged,
-                     carry.sum_acc + sum_acc_sub,
-                     carry.n_lf + n, depth + 1, knext)
+        depth = c.depth + jnp.where(sub_done, 1, 0).astype(jnp.int32)
+        stop = jnp.where(sub_done,
+                         bad | whole_turn | (depth >= max_depth), c.stop)
 
-    carry = lax.while_loop(
-        lambda c: (~c.turning) & (c.depth < max_depth),
-        build_and_merge, carry)
+        # ---- set up the next iteration (next leaf or next subtree)
+        go_next = jax.random.bernoulli(k_dir)
+        go_right = jnp.where(sub_done, go_next, c.go_right)
+        z_start = _tree_where(go_next, z_plus, z_minus)
+        z_cur = _tree_where(sub_done, z_start, z)
+        i_sub = jnp.where(sub_done, 0, i + 1).astype(jnp.int32)
+        log_w_sub = jnp.where(sub_done, -jnp.inf, log_w_sub)
+        z_prop = _tree_where(sub_done, z_cur, z_prop)
+        return Carry(z_minus, z_plus, z_sample, log_w_total, stop,
+                     c.diverged | div, sum_acc, c.n_lf + 1, depth,
+                     z_cur, i_sub, go_right, z_prop, log_w_sub, thetas, ps)
+
+    carry = lax.while_loop(lambda c: ~c.stop, body, carry0)
 
     acc_stat = carry.sum_acc / jnp.maximum(carry.n_lf, 1)
     return carry.z_sample.theta, acc_stat, carry.n_lf
@@ -204,8 +236,7 @@ def find_reasonable_step_size(logpost: Callable, theta0, key, inv_mass,
     off scale — a blind eps that is 100x too large makes every early
     warmup trajectory a full 2^max_depth-leapfrog divergent tree."""
     lg = _safe_vag(logpost)
-    p0 = jax.random.normal(key, theta0.shape, theta0.dtype) / \
-        jnp.sqrt(inv_mass)
+    p0 = _sample_momentum(key, inv_mass, theta0.shape[0], theta0.dtype)
     logp0, grad0 = lg(theta0)
     z0 = _Z(theta0, p0, logp0, grad0)
     H0 = z0.energy(inv_mass)
@@ -239,7 +270,8 @@ def find_reasonable_step_size(logpost: Callable, theta0, key, inv_mass,
 
 def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
                            key: jax.Array, cfg: HMCConfig,
-                           adapt_mass: bool = False):
+                           adapt_mass: bool = False,
+                           dense_mass: bool = False):
     """Warmup then sampling, single chain.
     Returns (samples [num_samples, dim], mean accept-stat, step size).
 
@@ -291,6 +323,77 @@ def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
 
     key, k1 = jax.random.split(key)
     inv_mass = jnp.ones(dim)
+
+    def fused_run(theta, inv_mass, n_warm, n_samp, key):
+        """find_reasonable eps + warmup + sampling as ONE lax.scan (one
+        compiled loop, one dispatch) — dual averaging runs predicated on
+        m < n_warm, after which eps freezes at exp(log_eps_bar).
+        Returns (theta, eps, thetas [n_warm+n_samp, dim], accs)."""
+        key, kf = jax.random.split(key)
+        eps0 = find_reasonable_step_size(logpost, theta, kf, inv_mass,
+                                         cfg.init_step_size)
+        mu = jnp.log(10.0 * eps0)
+
+        def fused_body(carry, mk):
+            m, k = mk
+            theta, eps, h_bar, log_eps_bar = carry
+            theta, acc, nlf = nuts_step(logpost, theta, k, eps, inv_mass,
+                                        cfg.max_tree_depth)
+            adapt = m < n_warm
+            mf = m.astype(jnp.float32) + 1.0
+            eta = 1.0 / (mf + t0)
+            h_new = (1.0 - eta) * h_bar + eta * (cfg.target_accept - acc)
+            log_eps = mu - jnp.sqrt(mf) / gamma * h_new
+            w = mf ** (-kappa)
+            leb_new = w * log_eps + (1.0 - w) * log_eps_bar
+            h_bar = jnp.where(adapt, h_new, h_bar)
+            log_eps_bar = jnp.where(adapt, leb_new, log_eps_bar)
+            # the step AFTER the last warmup transition (and every later
+            # one) runs at the averaged step size
+            eps = jnp.where(m + 1 < n_warm, jnp.exp(log_eps),
+                            jnp.exp(log_eps_bar))
+            return (theta, eps, h_bar, log_eps_bar), (theta, acc, nlf)
+
+        total = n_warm + n_samp
+        keys = jax.random.split(key, total)
+        (theta, eps, _, _), (thetas, accs, nlfs) = lax.scan(
+            fused_body,
+            (theta, eps0, jnp.asarray(0.0), jnp.asarray(0.0)),
+            (jnp.arange(total), keys))
+        return theta, eps, thetas, accs
+
+    if dense_mass:
+        # two-phase DENSE-metric adaptation: phase 1 runs unit-metric and
+        # its settled half estimates the posterior covariance, which
+        # becomes the inverse metric for phase 2 + sampling. On the bench
+        # patch-bank posterior the log-scale dims ride a correlated ridge
+        # a diagonal metric cannot absorb (r4 buried diag adaptation:
+        # no tree-depth win); the dense 3x3 metric is what collapses the
+        # ~80-leapfrog transitions (measured r5, benchmarks/r5_nuts_*).
+        n1 = max(cfg.num_warmup // 2, 10)
+        key, k2 = jax.random.split(key)
+        theta, _, draws, _ = fused_run(theta0, inv_mass, n1, 0, k1)
+        tail = draws[n1 // 2:]
+        m = tail.shape[0]
+        xc = tail - jnp.mean(tail, axis=0)
+        Sigma = jnp.matmul(xc.T, xc, precision=jax.lax.Precision.HIGHEST) \
+            / jnp.maximum(m - 1, 1)
+        # Stan-style shrinkage toward a small identity: guards the
+        # few-draw estimate and keeps the metric PD for the f32 Cholesky
+        Sigma = (m / (m + 5.0)) * Sigma \
+            + 1e-3 * (5.0 / (m + 5.0)) * jnp.eye(dim, dtype=Sigma.dtype)
+        n2 = cfg.num_warmup - n1
+        theta, eps, thetas, accs = fused_run(theta, Sigma, n2,
+                                             cfg.num_samples, k2)
+        return thetas[n2:], jnp.mean(accs[n2:]), eps
+
+    if not adapt_mass:
+        theta, eps, thetas, accs = fused_run(theta0, inv_mass,
+                                             cfg.num_warmup,
+                                             cfg.num_samples, k1)
+        n_warm = cfg.num_warmup
+        return thetas[n_warm:], jnp.mean(accs[n_warm:]), eps
+
     if adapt_mass and cfg.num_warmup >= 100:
         # a short phase-1 window (e.g. 25 draws at warmup=50) can estimate
         # a near-zero variance on an axis where the chain barely moved —
@@ -326,9 +429,12 @@ def nuts_warmup_and_sample(logpost: Callable, theta0: jnp.ndarray,
 
 
 def nuts_sample_chains(logpost: Callable, theta0: jnp.ndarray,
-                       key: jax.Array, cfg: HMCConfig):
+                       key: jax.Array, cfg: HMCConfig,
+                       dense_mass: bool = False):
     """theta0: [C, dim] -> samples [C, num_samples, dim]; chains vmap and
-    shard over the mesh chain axis."""
+    shard over the mesh chain axis. dense_mass: per-chain two-phase dense
+    metric adaptation (see nuts_warmup_and_sample)."""
     keys = jax.random.split(key, theta0.shape[0])
-    f = jax.vmap(lambda t0, k: nuts_warmup_and_sample(logpost, t0, k, cfg))
+    f = jax.vmap(lambda t0, k: nuts_warmup_and_sample(
+        logpost, t0, k, cfg, dense_mass=dense_mass))
     return f(theta0, keys)

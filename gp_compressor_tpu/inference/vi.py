@@ -61,3 +61,18 @@ def fit_advi(logpost: Callable, theta0: jnp.ndarray, key: jax.Array,
 def sample_posterior(res: VIResult, key: jax.Array, n: int) -> jnp.ndarray:
     eps = jax.random.normal(key, (n, res.mean.shape[0]))
     return res.mean + eps * jnp.exp(res.log_std)
+
+
+def elbo_plateaued(elbo_trace: jnp.ndarray, window: int = 30,
+                   tol: float = 2.0) -> jnp.ndarray:
+    """True when the mean ELBO of the last `window` steps improved by less
+    than `tol` nats over the preceding window — the convergence gate for
+    reporting a fitted mode (VERDICT r4 weak #3: an unconverged run
+    mid-transit along the posterior ridge was published as a mode; a
+    plateau check is cheap and makes the claim falsifiable). The MC-ELBO
+    noise floor at n_mc=8 on the bench posterior is ~1 nat, so tol=2
+    tolerates noise while catching the ~100s-of-nats/window drift of a
+    run still in transit."""
+    a = jnp.mean(elbo_trace[-window:])
+    b = jnp.mean(elbo_trace[-2 * window:-window])
+    return jnp.abs(a - b) < tol

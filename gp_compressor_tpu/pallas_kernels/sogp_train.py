@@ -167,19 +167,28 @@ def _kernel(cfg: GPConfig, n_points: int,
         al_o[:] = alpha + v1[:, None, :] * (q * coefA[None, :])[None, :, :]
         _st(C_o, _ld(C_o) + (r * coefA)[None, None, :]
             * v1[:, None, :] * v1[None, :, :])
-        gsafe = jnp.maximum(gamma, cfg.gamma_tiny)
-        coefQ = (1.0 - sp) * v / gsafe                          # [L]
-        e_f = e_hat - oh
-        _st(Q_o, _ld(Q_o)
-            + coefQ[None, None, :] * e_f[:, None, :] * e_f[None, :, :])
-        grow = (1.0 - sp)[None, :] * v[None, :] * oh            # [S, L]
-        bv_o[:] = bv * (1.0 - grow)[:, None, :] + grow[:, None, :] * x[None, :, :]
-        act_o[:] = jnp.maximum(act, grow)
         # incremental diagonals: the rank-1 updates add coef*v_i^2 on the
         # diagonal — same arithmetic the full matrices receive, at [S, L]
         # cost. Saves ~6 full [S, S, L] diag sweeps per point.
         dC_ref[:] = dC_ref[:] + (r * coefA)[None, :] * v1 * v1
-        dQ_ref[:] = dQ_ref[:] + coefQ[None, :] * e_f * e_f
+
+        # Q/bv/act change ONLY on a full (BV-adding) update. In the steady
+        # state (saturated novelty budget) almost every point is a sparse
+        # update on every lane, so predicating this block on any lane
+        # going full removes one [S, S, L] load+FMA+store (Q — the same
+        # footprint as C) from the common path.
+        @pl.when(jnp.max((1.0 - sp) * v) > 0.0)
+        def _():
+            gsafe = jnp.maximum(gamma, cfg.gamma_tiny)
+            coefQ = (1.0 - sp) * v / gsafe                      # [L]
+            e_f = e_hat - oh
+            _st(Q_o, _ld(Q_o)
+                + coefQ[None, None, :] * e_f[:, None, :] * e_f[None, :, :])
+            grow = (1.0 - sp)[None, :] * v[None, :] * oh        # [S, L]
+            bv_o[:] = bv * (1.0 - grow)[:, None, :] \
+                + grow[:, None, :] * x[None, :, :]
+            act_o[:] = jnp.maximum(act, grow)
+            dQ_ref[:] = dQ_ref[:] + coefQ[None, :] * e_f * e_f
 
         # capacity deletion (one per insertion suffices)
         act2 = act_o[:]

@@ -141,12 +141,14 @@ def _linkey(state: MapState, res, points):
     return jnp.where(ok, lin, -1), ok
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mcfg", "use_pallas",
+                                              "_diag_stop"))
 def map_insert(state: MapState, points, colors, valid,
                cfg: CompressorConfig, mcfg: MappingConfig,
                key: jax.Array, min_nbr, use_pallas: bool = False,
                depth_kp=None, depth_s20=None, depth_eps=None,
-               cached_tables=None) -> MapState:
+               cached_tables=None, cached_grid=None,
+               _diag_stop: int = 0) -> MapState:
     """insert_into_map + train_processes (src/gp_mapping.cpp:37-152,293-343).
 
     `points` must already be in world/map coordinates (the caller applies
@@ -170,7 +172,19 @@ def map_insert(state: MapState, points, colors, valid,
       bank_dropped  — claimed points lost to the max_points_per_patch bound
       pend_dropped  — unclaimed points lost to full pending buffers
       patch_overflow — new leaves lost to the max_patches bound
+
+    _diag_stop: diagnostics-only static knob (benchmarks/r5_insert_diag.py)
+    — when k > 0, return after stage k with a DCE-proof checksum in info so
+    prefix timings isolate per-stage device cost. 0 (production) is the
+    full insert; the early returns cost nothing when 0.
     """
+
+    def _diag(k, *arrays):
+        if _diag_stop != k:
+            return None
+        chk = sum(jnp.sum(jnp.asarray(a, jnp.float32) if a.dtype != bool
+                          else a.astype(jnp.float32)) for a in arrays)
+        return state, {"chk": chk}
     B = cfg.patch.max_patches
     G = cfg.patch.sz ** 2
     Pmax = cfg.patch.max_points_per_patch
@@ -199,27 +213,46 @@ def map_insert(state: MapState, points, colors, valid,
     n_patches = jnp.minimum(state.n_patches + jnp.sum(is_new & ~overflow),
                             B).astype(jnp.int32)
 
-    key_to_leaf = state.key_to_leaf.at[
-        jnp.where(is_new & ~overflow, uniq, state.key_to_leaf.shape[0])
-    ].set(jnp.where(is_new & ~overflow, new_ids, 0).astype(jnp.int32),
-          mode='drop')
-
-    # rebuild the sorted leaf table (old + new keys)
-    all_keys = jnp.concatenate([state.leaf_keys,
-                                jnp.where(is_new & ~overflow, uniq, fill)])
-    all_ids = jnp.concatenate([state.leaf_ids,
-                               jnp.where(is_new & ~overflow, new_ids, 0)])
-    order = jnp.argsort(all_keys)
-    leaf_keys = all_keys[order][:B]
-    leaf_ids = all_ids[order][:B].astype(jnp.int32)
-
+    any_new = jnp.any(is_new & ~overflow)
     nc = state.key_to_leaf.shape[0]
-    tgt_tbl = jnp.where(leaf_keys != fill, jnp.minimum(leaf_keys, nc - 1), nc)
-    slot_table = jnp.full((nc,), -1, jnp.int32).at[tgt_tbl].set(
-        jnp.arange(B, dtype=jnp.int32), mode='drop')
+
+    def rebuild_tables(_):
+        k2l = state.key_to_leaf.at[
+            jnp.where(is_new & ~overflow, uniq, nc)
+        ].set(jnp.where(is_new & ~overflow, new_ids, 0).astype(jnp.int32),
+              mode='drop')
+        # rebuild the sorted leaf table (old + new keys)
+        all_keys = jnp.concatenate([state.leaf_keys,
+                                    jnp.where(is_new & ~overflow, uniq, fill)])
+        all_ids = jnp.concatenate([state.leaf_ids,
+                                   jnp.where(is_new & ~overflow, new_ids, 0)])
+        order = jnp.argsort(all_keys)
+        lk = all_keys[order][:B]
+        li = all_ids[order][:B].astype(jnp.int32)
+        tgt_tbl = jnp.where(lk != fill, jnp.minimum(lk, nc - 1), nc)
+        tbl = jnp.full((nc,), -1, jnp.int32).at[tgt_tbl].set(
+            jnp.arange(B, dtype=jnp.int32), mode='drop')
+        return k2l, lk, li, tbl
+
+    if cached_grid is not None:
+        # steady state (no new leaves): the caller's prebuilt grid — from
+        # the same registration pass that built cached_tables — IS this
+        # insert's grid, so the two [n_cells] table scatters and the leaf
+        # argsort are skipped entirely
+        key_to_leaf, leaf_keys, leaf_ids, slot_table = jax.lax.cond(
+            any_new, rebuild_tables,
+            lambda _: (state.key_to_leaf, state.leaf_keys, state.leaf_ids,
+                       cached_grid.table),
+            None)
+    else:
+        key_to_leaf, leaf_keys, leaf_ids, slot_table = rebuild_tables(None)
     grid = VoxelGrid(keys=leaf_keys, n_leaves=n_patches,
                      origin=state.origin, dims=state.dims, res=res,
                      table=slot_table)
+
+    r_ = _diag(1, leaf_keys, leaf_ids, slot_table, key_to_leaf)
+    if r_ is not None:
+        return r_
 
     # ---- 2. sphere stats for would-be-new patches (plane fits from the
     # CURRENT scan's sphere points, as the reference does
@@ -244,6 +277,10 @@ def map_insert(state: MapState, points, colors, valid,
     centers_by_id = jnp.zeros((B + 1, 3), dt).at[
         jnp.where(jnp.arange(B) < n_patches, leaf_ids, B)
     ].set(centers_all, mode='drop')[:B]
+
+    r_ = _diag(2, M, R_fresh, centers_by_id, sphere_counts)
+    if r_ is not None:
+        return r_
 
     # which leaves become patches THIS insertion: not created, and pending
     # + sphere evidence >= min_nbr (src/gp_mapping.cpp:126)
@@ -271,13 +308,15 @@ def map_insert(state: MapState, points, colors, valid,
             leaf_ids=ids_p)
     else:
         # slot-space tables; reuse the pre-insert ones when they are
-        # provably identical: no new leaf entered the grid, no patch was
-        # created this insertion, and the registration tables' trained
-        # set (GP size > 0) equals `created` (a sanitized-but-created
-        # patch breaks that equality)
+        # provably identical: the caller builds them with trained =
+        # `created` in slot order (add_cloud_fused), which equals this
+        # insert's claim set (created | becomes) exactly when no leaf
+        # entered the grid and no patch became created — the tracked
+        # steady state, where the ~40 ms rebuild now never runs (the r4
+        # gate also required GP-size>0 == created, which the first
+        # sanitized patch broke for the rest of the stream)
         ids_c = jnp.minimum(leaf_ids, B)
-        reuse_ok = (~jnp.any(is_new & ~overflow)) & (~jnp.any(becomes)) \
-            & jnp.all((sparse_gp.size(state.depth_gp) > 0) == state.created)
+        reuse_ok = (~jnp.any(is_new & ~overflow)) & (~jnp.any(becomes))
 
         def fresh(_):
             return registration.build_claim_tables(
@@ -290,33 +329,86 @@ def map_insert(state: MapState, points, colors, valid,
         # slot -> gp_index (ids_p[B] = B keeps the unclaimed fill)
         claim = ids_p[jnp.minimum(claim_slot, B)]
 
-    # pending points of newly-created patches also join (projected through
-    # the fresh frame; transform_to_new consumes to_be_added,
-    # src/gp_mapping.cpp:260-281)
-    pend_valid = (jnp.arange(Pp)[None, :] < state.pend_count[:, None]) \
-        & becomes[:, None]                                        # [B, Pp]
-    pend_rel = state.pend_pts - mean_eff[:, None, :]
-    pend_loc = jnp.einsum('bji,bpj->bpi', rot_eff, pend_rel,      # R^T rel
-                          precision=jax.lax.Precision.HIGHEST)
-    pend_clip = ((jnp.abs(pend_loc[..., 1]) <= half)
-                 & (jnp.abs(pend_loc[..., 2]) <= half) & pend_valid)
+    r_ = _diag(3, claim, loc_claim, claimed)
+    if r_ is not None:
+        return r_
 
-    # ---- 4. per-patch means for NEW patches (demean depth + colors over
-    # claimed current + pending points, src/gp_mapping.cpp:283-289) -------
-    seg = jnp.where(claimed, claim, B)
-    onesc = claimed.astype(dt)
-    cur_cnt = jax.ops.segment_sum(onesc, seg, num_segments=B + 1)[:B]
-    cur_d = jax.ops.segment_sum(loc_claim[:, 0] * onesc, seg,
-                                num_segments=B + 1)[:B]
-    cur_c = jax.ops.segment_sum(colors * onesc[:, None], seg,
-                                num_segments=B + 1)[:B]
-    pf = pend_clip.astype(dt)
-    pend_cnt = jnp.sum(pf, axis=1)
-    pend_d = jnp.sum(pend_loc[..., 0] * pf, axis=1)
-    pend_c = jnp.sum(state.pend_cols * pf[..., None], axis=1)
+    # ---- 4. ONE shared value sort serves banking, per-patch means, the
+    # pending append and the truncation counters (VERDICT r4 next #1 —
+    # previously: 3 means segment_sums + a pending argsort/cummax + 2
+    # scatter passes + the banking sort, each its own full pass over N).
+    # Key: claimed points sort into segment `claim` with a CENTER-OUT
+    # secondary rank (u^2 + v^2 — the r3 headline lesson: deterministic
+    # center-out insertion beats the reference's shuffle-before-insert,
+    # benchmarks/r3_order_sweep.json, so the train pass below no longer
+    # permutes); unclaimed storable points sort into segment B + home_gid
+    # (rank 0 -> stable arrival order, the pending-append semantics);
+    # everything else sorts last. Per-patch sums then become prefix-sum
+    # window differences and the pending append reads contiguous rows.
+    home_gid = jnp.where(
+        lin_valid != fill,
+        key_to_leaf[jnp.minimum(jnp.maximum(lin_valid, 0),
+                                key_to_leaf.shape[0] - 1)], -1)
+    created = state.created | becomes
+    store = (~claimed) & valid & in_box & (home_gid >= 0) \
+        & ~created[jnp.maximum(home_gid, 0)]
+    d2c = loc_claim[:, 1] ** 2 + loc_claim[:, 2] ** 2     # 0 for unclaimed
+    seg_all = jnp.where(claimed, claim,
+                        jnp.where(store, B + home_gid,
+                                  2 * B)).astype(jnp.int32)
+    from gp_compressor_tpu.geometry.patches import sort_by_claim
+    (u_s, v_s, d_s, r_s, g_s, b_s, wx_s, wy_s, wz_s, seg_f), starts2 = \
+        sort_by_claim(
+            seg_all, seg_all < 2 * B,
+            (loc_claim[:, 1], loc_claim[:, 2], loc_claim[:, 0],
+             colors[:, 0], colors[:, 1], colors[:, 2],
+             points[:, 0], points[:, 1], points[:, 2],
+             seg_all.astype(dt)),
+            2 * B, rank=d2c)
+    counts_b = starts2[1:B + 1] - starts2[:B]             # [B] int32
+    Nnz = jnp.maximum(starts2[-1], 1)
+
+    # per-patch claimed sums from ONE prefix sum over the sorted payload
+    Z = jnp.cumsum(jnp.stack([d_s, r_s, g_s, b_s], axis=-1), axis=0)
+    Z = jnp.concatenate([jnp.zeros((1, 4), Z.dtype), Z], axis=0)
+    seg_sums = Z[starts2[1:B + 1]] - Z[starts2[:B]]       # [B, 4]
+    cur_cnt = counts_b.astype(dt)
+    cur_d = seg_sums[:, 0]
+    cur_c = seg_sums[:, 1:]
+
+    # pending evidence of would-be-created patches joins their plane means
+    # (transform_to_new consumes to_be_added, src/gp_mapping.cpp:260-281).
+    # The whole [B, Pp] projection block is lax.cond-gated: in the tracked
+    # steady state no patch becomes created and none of it runs.
+    any_becomes = jnp.any(becomes)
+
+    def pend_stats(_):
+        pend_valid = (jnp.arange(Pp)[None, :] < state.pend_count[:, None]) \
+            & becomes[:, None]                                    # [B, Pp]
+        pend_rel = state.pend_pts - mean_eff[:, None, :]
+        pend_loc = jnp.einsum('bji,bpj->bpi', rot_eff, pend_rel,  # R^T rel
+                              precision=jax.lax.Precision.HIGHEST)
+        pend_clip = ((jnp.abs(pend_loc[..., 1]) <= half)
+                     & (jnp.abs(pend_loc[..., 2]) <= half) & pend_valid)
+        pf = pend_clip.astype(dt)
+        return (pend_loc, pend_clip, jnp.sum(pf, axis=1),
+                jnp.sum(pend_loc[..., 0] * pf, axis=1),
+                jnp.sum(state.pend_cols * pf[..., None], axis=1))
+
+    def pend_zeros(_):
+        return (jnp.zeros((B, Pp, 3), dt), jnp.zeros((B, Pp), bool),
+                jnp.zeros((B,), dt), jnp.zeros((B,), dt),
+                jnp.zeros((B, 3), dt))
+
+    pend_loc, pend_clip, pend_cnt, pend_d, pend_c = jax.lax.cond(
+        any_becomes, pend_stats, pend_zeros, None)
     tot = jnp.maximum(cur_cnt + pend_cnt, 1.0)
     mn = (cur_d + pend_d) / tot
     cmn = (cur_c + pend_c) / tot[:, None]
+
+    r_ = _diag(4, mn, cmn, tot)
+    if r_ is not None:
+        return r_
 
     # new patches: frame + adjusted center + color mean; old patches keep
     # theirs (transform_to_old does not re-demean, src/gp_mapping.cpp:237)
@@ -325,50 +417,63 @@ def map_insert(state: MapState, points, colors, valid,
                       centers_by_id + mn[:, None] * R_fresh[:, :, 0],
                       state.means)
     rgb_means = jnp.where(becomes[:, None], cmn, state.rgb_means)
-    created = state.created | becomes
-
-    # training depths/colors: new patches demean; old patches use raw local
-    # depth and stored color mean
-    is_new_claim = becomes[jnp.where(claimed, claim, 0)]
-    d_train = loc_claim[:, 0] - jnp.where(is_new_claim,
-                                          mn[jnp.where(claimed, claim, 0)], 0.0)
-    c_train = colors - rgb_means[jnp.where(claimed, claim, 0)]
 
     # ---- 5. W mask update (OR for old, set for new — both are OR on a
     # fresh/existing mask, src/gp_mapping.cpp:242,290) --------------------
+    onesc = claimed.astype(dt)
     cell = jnp.clip((sz * (loc_claim[:, 1] / res + 0.5)).astype(jnp.int32),
                     0, sz - 1) * sz + \
         jnp.clip((sz * (loc_claim[:, 2] / res + 0.5)).astype(jnp.int32),
                  0, sz - 1)
     wflat = jnp.where(claimed, claim * G + cell, B * G)
     Wadd = jax.ops.segment_sum(onesc, wflat, num_segments=B * G + 1)[:B * G]
-    pend_cell = jnp.clip((sz * (pend_loc[..., 1] / res + 0.5)).astype(jnp.int32),
-                         0, sz - 1) * sz + \
-        jnp.clip((sz * (pend_loc[..., 2] / res + 0.5)).astype(jnp.int32),
-                 0, sz - 1)
-    pwflat = jnp.where(pend_clip, jnp.arange(B)[:, None] * G + pend_cell,
-                       B * G).reshape(-1)
-    Wadd = Wadd + jax.ops.segment_sum(pf.reshape(-1), pwflat,
-                                      num_segments=B * G + 1)[:B * G]
+
+    def pend_w(_):
+        pend_cell = jnp.clip(
+            (sz * (pend_loc[..., 1] / res + 0.5)).astype(jnp.int32),
+            0, sz - 1) * sz + \
+            jnp.clip((sz * (pend_loc[..., 2] / res + 0.5)).astype(jnp.int32),
+                     0, sz - 1)
+        pwflat = jnp.where(pend_clip,
+                           jnp.arange(B)[:, None] * G + pend_cell,
+                           B * G).reshape(-1)
+        return jax.ops.segment_sum(pend_clip.astype(dt).reshape(-1), pwflat,
+                                   num_segments=B * G + 1)[:B * G]
+
+    Wadd = Wadd + jax.lax.cond(any_becomes, pend_w,
+                               lambda _: jnp.zeros((B * G,), dt), None)
     W = state.W | (Wadd > 0).reshape(B, G)
 
-    # ---- 6. bank claimed points and train GPs incrementally -------------
-    # Claimed banks train every insertion; pending banks (points that
-    # accumulated while a voxel waited for min_nbr evidence) are non-empty
-    # only on insertions that CREATE patches, so their training pass runs
-    # under lax.cond — the steady state (tracked stream, no new patches)
-    # pays for one [B, Pmax] train instead of one [B, Pmax + Pp].
-    uv = loc_claim[:, 1:]
+    r_ = _diag(5, W)
+    if r_ is not None:
+        return r_
+
+    # ---- 6. training banks: contiguous windows of the shared sort, in
+    # deterministic center-out insertion order; depth/color demeaning
+    # happens at window-gather time (new patches demean by mn/cmn, old
+    # patches use raw local depth and their stored color mean) -----------
     Sp = mcfg.spill_bank
+    mn_eff = jnp.where(becomes, mn, 0.0)                  # [B]
+
+    def window(rank0, width):
+        rk = rank0 + jnp.arange(width, dtype=jnp.int32)
+        m = rk[None, :] < jnp.minimum(counts_b, rank0 + width)[:, None]
+        pos = jnp.minimum(starts2[:B, None] + rk[None, :], Nnz - 1)
+        X = jnp.where(m[..., None], jnp.stack([u_s[pos], v_s[pos]], -1), 0.0)
+        Y = jnp.where(m[..., None],
+                      (d_s[pos] - mn_eff[:, None])[..., None], 0.0)
+        C = jnp.where(m[..., None],
+                      jnp.stack([r_s[pos], g_s[pos], b_s[pos]], -1)
+                      - rgb_means[:, None, :], 0.0)
+        return X, Y, C, m
+
+    Xb, Yb, Cb, Mb = window(0, Pmax)
     if Sp > 0:
-        Xb, Yb, Cb, Mb, (Xsp, Ysp, Csp, Msp) = _bank_training_points(
-            claim, claimed, uv, d_train, c_train, B, Pmax, spill=Sp)
-    else:
-        Xb, Yb, Cb, Mb = _bank_training_points(
-            claim, claimed, uv, d_train, c_train, B, Pmax)
-    pend_uv = pend_loc[..., 1:]
-    pend_depth = pend_loc[..., 0] - mn[:, None]
-    pend_ccols = state.pend_cols - cmn[:, None, :]
+        Xsp, Ysp, Csp, Msp = window(Pmax, Sp)
+
+    r_ = _diag(6, Xb, Yb, Cb, Mb)
+    if r_ is not None:
+        return r_
 
     dkp, ckp = default_params(cfg)
     # calibrated mapping: traced (kp, s20, eps) overrides ride the Pallas
@@ -385,30 +490,22 @@ def map_insert(state: MapState, points, colors, valid,
         from gp_compressor_tpu.pallas_kernels import sogp_train
 
         def train_pair(states, X, Y, C, M, k):
-            # the fused kernel does not shuffle; apply the reference's
-            # shuffle-before-insert (src/sparse_gp.hpp:43-56) here
-            P_ = X.shape[1]
-            perm = jax.vmap(lambda kk: jax.random.permutation(kk, P_))(
-                jax.random.split(k, B))
-            take = lambda a: jnp.take_along_axis(
-                a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
-            Xs, Ys, Cs = take(X), take(Y), take(C)
-            Ms = jnp.take_along_axis(M, perm, axis=1)
+            # banks arrive in the deterministic center-out insertion order
+            # (see the shared sort above) — no shuffle, matching the
+            # compressor's measured-better bank_order="center_out"
             d = sogp_train.add_points_batch_pallas(
-                dkp, cfg.depth_gp, states[0], Xs, Ys, Ms,
+                dkp, cfg.depth_gp, states[0], X, Y, M,
                 s20=depth_s20, eps_tol=depth_eps)
             c = sogp_train.add_points_batch_pallas(
-                ckp, cfg.rgb_gp, states[1], Xs, Cs, Ms)
+                ckp, cfg.rgb_gp, states[1], X, C, M)
             return d, c
     else:
         def train_pair(states, X, Y, C, M, k):
-            kd_, kc_ = jax.random.split(k)
             d = sparse_gp.add_points_batch(
                 dkp, dnoise, cfg.depth_gp, states[0], X, Y, M,
-                jax.random.split(kd_, B), eps_tol=depth_eps)
+                eps_tol=depth_eps)
             c = sparse_gp.add_points_batch(
-                ckp, cnoise, cfg.rgb_gp, states[1], X, C, M,
-                jax.random.split(kc_, B))
+                ckp, cnoise, cfg.rgb_gp, states[1], X, C, M)
             return d, c
 
     depth_gp, rgb_gp = train_pair((state.depth_gp, state.rgb_gp),
@@ -422,11 +519,17 @@ def map_insert(state: MapState, points, colors, valid,
             lambda s: s,
             (depth_gp, rgb_gp))
     depth_gp, rgb_gp = jax.lax.cond(
-        jnp.any(becomes),
-        lambda s: train_pair(s, pend_uv, pend_depth[..., None], pend_ccols,
+        any_becomes,
+        lambda s: train_pair(s, pend_loc[..., 1:],
+                             (pend_loc[..., 0] - mn[:, None])[..., None],
+                             state.pend_cols - cmn[:, None, :],
                              pend_clip, kc),
         lambda s: s,
         (depth_gp, rgb_gp))
+
+    r_ = _diag(7, depth_gp.C, rgb_gp.C)
+    if r_ is not None:
+        return r_
     # failure containment, as in compressor.train: an incrementally-updated
     # patch that diverged past the f32 conditioning cliff would otherwise
     # poison the map forever (map_cloud emitted NaN points before this)
@@ -438,51 +541,50 @@ def map_insert(state: MapState, points, colors, valid,
     rgb_gp, _ = sparse_gp.sanitize_batch(rgb_gp, ckp, cfg.rgb_gp.s20,
                                          max_pred=2.5e3, probes=probes)
 
+    r_ = _diag(8, depth_gp.C, rgb_gp.C)
+    if r_ is not None:
+        return r_
+
     # ---- 7. pending buffers: consumed for created patches; unclaimed
-    # points accumulate into their HOME voxel's pending buffer ------------
+    # points append to their HOME voxel's buffer straight from the shared
+    # sort (segment B + gid rows are contiguous and arrival-ordered; the
+    # in-voxel rank is just the row offset from the segment start — the
+    # old separate argsort + cummax rank pass is gone) -------------------
     pend_pts = jnp.where(becomes[:, None, None], 0.0, state.pend_pts)
     pend_cols = jnp.where(becomes[:, None, None], 0.0, state.pend_cols)
-    pend_count = jnp.where(becomes, 0, state.pend_count)
+    pend_count0 = jnp.where(becomes, 0, state.pend_count)
 
-    # after allocation the table includes the new ids
-    home_gid = jnp.where(
-        lin_valid != fill,
-        key_to_leaf[jnp.minimum(jnp.maximum(lin_valid, 0),
-                                key_to_leaf.shape[0] - 1)], -1)
-    store = (~claimed) & valid & in_box & (home_gid >= 0) \
-        & ~created[jnp.maximum(home_gid, 0)]
-    # rank within home voxel: position minus the segment's first position,
-    # read off the SORTED keys with a running max over change points — an
-    # N-query searchsorted here cost ~75 ms/insert at 150k points (the
-    # tunnel-measured bad scaling, CLAUDE.md) for a value a cummax gets
-    # in ~1 ms
-    order = jnp.argsort(jnp.where(store, home_gid, B), stable=True)
-    sc = jnp.where(store, home_gid, B)[order]
     iota = jnp.arange(N, dtype=jnp.int32)
-    chg = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
-    first = jax.lax.cummax(jnp.where(chg, iota, 0))
-    rank = jnp.zeros(N, jnp.int32).at[order].set(iota - first)
-    slot = pend_count[jnp.maximum(home_gid, 0)] + rank
-    okp = store & (slot < Pp)
-    pflat = jnp.where(okp, home_gid * Pp + slot, B * Pp)
+    seg_i = seg_f.astype(jnp.int32)                       # [N] sorted segs
+    is_pend_row = (seg_i >= B) & (seg_i < 2 * B)
+    b_row = jnp.clip(seg_i - B, 0, B - 1)
+    rank_row = iota - starts2[jnp.clip(seg_i, 0, 2 * B)]
+    slot = pend_count0[b_row] + rank_row
+    okp = is_pend_row & (slot < Pp)
+    pflat = jnp.where(okp, b_row * Pp + slot, B * Pp)
     pend_pts = pend_pts.reshape(B * Pp, 3).at[pflat].set(
-        jnp.where(okp[:, None], points, 0.0), mode='drop').reshape(B, Pp, 3)
+        jnp.where(okp[:, None], jnp.stack([wx_s, wy_s, wz_s], -1), 0.0),
+        mode='drop').reshape(B, Pp, 3)
     pend_cols = pend_cols.reshape(B * Pp, 3).at[pflat].set(
-        jnp.where(okp[:, None], colors, 0.0), mode='drop').reshape(B, Pp, 3)
-    added = jax.ops.segment_sum(okp.astype(jnp.int32),
-                                jnp.where(okp, home_gid, B),
-                                num_segments=B + 1)[:B]
-    pend_count = jnp.minimum(pend_count + added, Pp)
+        jnp.where(okp[:, None], jnp.stack([r_s, g_s, b_s], -1), 0.0),
+        mode='drop').reshape(B, Pp, 3)
+    pend_new = starts2[B + 1:2 * B + 1] - starts2[B:2 * B]    # [B]
+    pend_count = jnp.minimum(pend_count0 + pend_new, Pp)
 
-    # ---- truncation counters (SURVEY §5 observability) -------------------
+    # ---- truncation counters (SURVEY 5 observability) -------------------
     # claimed points beyond the main + spill bank bounds never reach
     # training (with the default spill this is 0 in the bench regime)
     bank_dropped = jnp.sum(jnp.maximum(
-        cur_cnt.astype(jnp.int32) - (Pmax + Sp), 0)).astype(jnp.int32)
+        counts_b - (Pmax + Sp), 0)).astype(jnp.int32)
     # points that wanted a pending slot but the buffer was full
-    pend_dropped = jnp.sum(store & ~okp).astype(jnp.int32)
+    pend_dropped = jnp.sum(jnp.maximum(
+        pend_count0 + pend_new - Pp, 0)).astype(jnp.int32)
     # new leaves that fell off the static max_patches budget
     patch_overflow = jnp.sum(is_new & overflow).astype(jnp.int32)
+
+    r_ = _diag(9, pend_pts, pend_cols, pend_count)
+    if r_ is not None:
+        return r_
 
     # ---- 8. free-space carving (every carve_stride-th ray) ---------------
     key_by_gid = jnp.full((B + 1,), fill, jnp.int32).at[slot_tgt].set(
@@ -642,10 +744,9 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
         s, st, _ = carry
         return (s < steps) & jnp.any(st.active)
 
-    def body(carry):
-        s, st, marks = carry
+    def one_step(s, st, marks):
         gid = gid_of(st)                 # active implies s <= s_hit
-        ok = (gid >= 0) & created[jnp.maximum(gid, 0)]
+        ok = (gid >= 0) & created[jnp.maximum(gid, 0)] & (s < steps)
         g = jnp.maximum(gid, 0)
         pl = plane[jnp.where(ok, g, B)]
         R = pl[:, :9].reshape(N, 3, 3)
@@ -669,7 +770,18 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
         val = jnp.where((s == s_hit) & (gid == hit_claim), 2, 1)
         marks = marks.at[idx].max(val)
         st = voxel.ray_walk_step(st, dims)
-        return (s + 1, st._replace(active=st.active & (s < s_hit)), marks)
+        return s + 1, st._replace(active=st.active & (s < s_hit)), marks
+
+    def body(carry):
+        # 4 DDA steps per while iteration: the loop-carried bookkeeping
+        # (cond eval, carry round trip) was a measurable share of the
+        # ~40-step walk's cost; each micro-step is individually gated on
+        # (s < steps) and ray activity, so overrunning the cond check by
+        # up to 3 steps marks nothing extra
+        s, st, marks = carry
+        for _ in range(4):
+            s, st, marks = one_step(s, st, marks)
+        return s, st, marks
 
     st0 = st0._replace(active=reaches)
     _, _, marks = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
@@ -728,14 +840,23 @@ def add_cloud_fused(state: MapState, points, colors, valid,
     diverged = jnp.asarray(False)
     reg_steps = jnp.asarray(0, jnp.int32)
     tables = None
+    grid_cached = None
 
     if register_scan:
         comp = _map_as_compressed(state, cfg)
+        grid_cached = comp.patch.grid
         has_map = state.n_patches > 0
         k = mcfg.reg_stride
         # one table build serves the whole scan: the registration loop
-        # AND (in the tracked steady state) the insert's claims pass
-        tables = registration._map_claim_tables(comp)
+        # AND (in the tracked steady state) the insert's claims pass. The
+        # candidate set is `created` (slot order) rather than GP-size>0 —
+        # see _map_claim_tables: this keeps sanitized patches claimable
+        # (they retrain instead of dropping evidence) and makes the tables
+        # EXACTLY the insert's whenever no leaf/patch is added, so the
+        # steady state never rebuilds them (the r4 gate compared trained
+        # to created and broke permanently after the first sanitize)
+        tables = registration._map_claim_tables(
+            comp, trained=state.created[state.leaf_ids])
 
         def do_reg(_):
             # register a strided subsample, then carry the recovered pose
@@ -776,7 +897,8 @@ def add_cloud_fused(state: MapState, points, colors, valid,
         lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
                              min_nbr, use_pallas=use_pallas,
                              depth_kp=depth_kp, depth_s20=depth_s20,
-                             depth_eps=depth_eps, cached_tables=tables),
+                             depth_eps=depth_eps, cached_tables=tables,
+                             cached_grid=grid_cached),
         None)
     return state, diverged, reg_steps, info
 
@@ -885,7 +1007,8 @@ def predict_occupancy(occ_states, cfg: CompressorConfig, Xstar,
 
 def smc_refine_pose(state: MapState, points, colors, valid,
                     cfg: CompressorConfig, smc_cfg, key: jax.Array,
-                    n_iters: int = 8, n_eval_points: int = 2048):
+                    n_iters: int = 8, n_eval_points: int = 2048,
+                    depth_kp=None, depth_s20=None):
     """SMC refinement of a scan pose against the map — the north-star
     capability layered over gradient registration (BASELINE.json config 5).
 
@@ -899,6 +1022,11 @@ def smc_refine_pose(state: MapState, points, colors, valid,
 
     comp = _map_as_compressed(state, cfg)
     dkp, _ = default_params(cfg)
+    # calibrated mapping scores particles on the SAME density field the
+    # stream registers/trains against (the reference-constants field's
+    # likelihood argmax sits cm off the true pose, r4_reg_bias.json)
+    dkp = dkp if depth_kp is None else depth_kp
+    d_s20 = cfg.depth_gp.s20 if depth_s20 is None else depth_s20
     dt = points.dtype
 
     # subsample the scan for the likelihood evaluations
@@ -916,19 +1044,26 @@ def smc_refine_pose(state: MapState, points, colors, valid,
     G = cfg.patch.sz ** 2
     grid_uv = patches_mod.prediction_grid(cfg.patch, dt)
     dmean, dvar = sparse_gp.predict_batch(
-        dkp, cfg.depth_gp.s20, comp.depth_gp,
+        dkp, d_s20, comp.depth_gp,
         jnp.broadcast_to(grid_uv, (B, G, 2)))          # [B,G,1], [B,G]
     dmean = dmean[..., 0]
     trained = sparse_gp.size(comp.depth_gp) > 0
+
+    # candidate tables are pose-independent: build ONCE outside the particle
+    # vmap and the iteration loop (previously claim_to_patches rebuilt them
+    # per particle per iteration — num_particles * n_iters table builds of
+    # ~50 ms each at bench scale)
+    tables = registration._map_claim_tables(comp)
+    B_out = comp.patch.rotations.shape[0]
 
     def pose_loglik(poses):
         R, t = smc_mod.pose_matrices(poses)
 
         def one(Rp, tp):
             moved = transforms.apply(pts_s, Rp, tp)
-            claim, loc, claimed = registration.claim_to_patches(
-                comp.patch.grid, comp.patch.rotations, comp.patch.means,
-                trained, moved, val_s, cfg.patch.res)
+            claim, loc, claimed = registration.claim_with_tables(
+                tables, comp.patch.grid, moved, val_s, cfg.patch.res,
+                out_fill=B_out)
             gidx = jnp.where(claimed, claim, 0)
             cell = patches_mod.grid_cell(loc[:, 1:],
                                          jnp.asarray(cfg.patch.res, dt),
@@ -944,20 +1079,25 @@ def smc_refine_pose(state: MapState, points, colors, valid,
             # src/gp_registration.cpp:214). The floor is the log density
             # of a ~3-sigma prior outlier.
             floor = -0.5 * jnp.log(2 * jnp.pi * (dkp.sigmaf_sq
-                                                 + cfg.depth_gp.s20)) - 4.5
+                                                 + d_s20)) - 4.5
             return jnp.sum(jnp.where(claimed & val_s, ll, floor))
 
         return jax.vmap(one)(R, t)
 
-    st = smc_mod.init_particles(smc_cfg, key, dtype=dt)
-    trace = []
-    mean_pose = jnp.zeros(6, dt)
-    for i in range(n_iters):
-        key = jax.random.fold_in(key, i)
-        st, mean_pose = smc_mod.smc_step(st, pose_loglik, smc_cfg, key)
-        trace.append(jnp.max(st.log_weights))
+    # the whole refinement is ONE lax.scan (one dispatch on the tunneled
+    # backend instead of n_iters round trips)
+    st0 = smc_mod.init_particles(smc_cfg, key, dtype=dt)
+
+    def body(carry, k):
+        st, _ = carry
+        st, mean_pose = smc_mod.smc_step(st, pose_loglik, smc_cfg, k)
+        return (st, mean_pose), jnp.max(st.log_weights)
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), n_iters)
+    (st, mean_pose), trace = jax.lax.scan(body, (st0, jnp.zeros(6, dt)),
+                                          keys)
     R, t = smc_mod.pose_matrices(mean_pose[None])
-    return (R[0], t[0]), st, jnp.stack(trace)
+    return (R[0], t[0]), st, trace
 
 
 def map_cloud(state: MapState, cfg: CompressorConfig,

@@ -245,13 +245,26 @@ def claim_to_patches(grid, rotations, means, trained, points, valid, res,
     return gclaim, loc_claim, claimed
 
 
-def _map_claim_tables(comp: CompressedCloud):
+def _map_claim_tables(comp: CompressedCloud, trained=None):
     """Candidate tables against a compressed map (None if the grid carries
-    no dense table)."""
+    no dense table).
+
+    trained: optional [B] bool override of the claim-candidate set. The
+    default (GP size > 0) matches the reference's registration gate
+    (src/gp_registration.cpp:158). The mapping stream passes its `created`
+    set instead so ONE table serves both the per-scan registration and the
+    insert's claims pass: a sanitized-but-created patch (our failure
+    containment resets a diverged GP to empty — a state the reference
+    cannot reach) then stays a claim candidate, its points retrain it, and
+    the tables are provably reusable across register->insert whenever no
+    leaf/patch was added (map_insert's reuse gate). An empty GP's density
+    is the broad prior N(0, sigma_f^2 + s20) with ~zero gradient, so the
+    registration objective is essentially unchanged by the widened set."""
     batch = comp.patch
     if batch.grid.table is None:
         return None
-    trained = sparse_gp.size(comp.depth_gp) > 0                 # [B]
+    if trained is None:
+        trained = sparse_gp.size(comp.depth_gp) > 0             # [B]
     return build_claim_tables(batch.grid, batch.rotations, batch.means,
                               trained)
 
