@@ -95,26 +95,12 @@ def main():
                                              use_pallas=True)
     _sync(state.means)
 
-    # --- reuse-gate truth on the steady state ---
-    trained_eq = bool(jnp.all((sparse_gp.size(state.depth_gp) > 0)
-                              == state.created))
-    print(json.dumps({"diag": "reuse_gate",
-                      "trained_eq_created": trained_eq,
-                      "n_created": int(jnp.sum(state.created)),
-                      "n_trained": int(jnp.sum(sparse_gp.size(state.depth_gp)
-                                               > 0))}), flush=True)
-
-    comp = mapping._map_as_compressed(state, cfg)
-    tables = registration._map_claim_tables(
-        comp, trained=state.created[state.leaf_ids])
-
     min_nbr = jnp.asarray(mcfg.min_points_new_patch, jnp.int32)
 
-    def run(stop, cached):
+    def run(stop, mc=mcfg):
         out = mapping.map_insert(state, scan1[0], scan1[1], scan1[2], cfg,
-                                 mcfg, jax.random.key(2), min_nbr,
-                                 use_pallas=True, cached_tables=cached,
-                                 _diag_stop=stop)
+                                 mc, jax.random.key(2), min_nbr,
+                                 use_pallas=True, _diag_stop=stop)
         if stop:
             _sync(out[1]["chk"])
         else:
@@ -124,9 +110,9 @@ def main():
     rows = {}
     prev = 0.0
     for stop in (1, 2, 3, 4, 5, 6, 7, 8, 9, 0):
-        t = _time(lambda: run(stop, tables))
-        name = {1: "alloc", 2: "moments", 3: "claims", 4: "means", 5: "W",
-                6: "bank", 7: "train", 8: "sanitize", 9: "pending",
+        t = _time(lambda: run(stop))
+        name = {1: "alloc", 2: "moments", 3: "tables+claims", 4: "means",
+                5: "W", 6: "bank", 7: "train", 8: "sanitize", 9: "pending",
                 0: "full+carve"}[stop]
         rows[name] = {"cum_s": round(t, 4),
                       "stage_ms": round((t - prev) * 1e3, 1)}
@@ -134,15 +120,19 @@ def main():
         print(json.dumps({"diag": "insert_stage", "stage": name,
                           **rows[name]}), flush=True)
 
-    # table build vs reuse, full insert
-    t_nocache = _time(lambda: run(0, None))
+    # incremental table update vs forced full rebuild (table_update_max=0)
+    mc_full = dataclasses.replace(mcfg, table_update_max=0)
+    t_full = _time(lambda: run(0, mc_full))
     print(json.dumps({"diag": "insert_totals",
-                      "full_cached_s": rows["full+carve"]["cum_s"],
-                      "full_fresh_tables_s": round(t_nocache, 4)}),
+                      "full_incremental_s": rows["full+carve"]["cum_s"],
+                      "full_rebuild_tables_s": round(t_full, 4)}),
           flush=True)
 
-    # registration share of the per-scan wall
+    # registration share of the per-scan wall (persistent tables, gid view)
     k = mcfg.reg_stride
+    comp = mapping._map_view_gid(state, cfg)
+    tables = state.tables._replace(nm=jnp.concatenate(
+        [state.rotations[:, :, 0], state.means], axis=1))
 
     def reg():
         st, out = registration.register(

@@ -269,6 +269,13 @@ class MappingConfig:
     # train pass is lax.cond-gated, so the steady state (no patch over
     # the main bound) pays nothing. 0 disables (r3 behaviour); points
     # beyond max_points_per_patch + spill_bank are still counted dropped.
+    table_update_max: int = 96
+    # Static bound on the INCREMENTAL persistent-claim-table update
+    # (registration.update_claim_tables): up to this many leaves becoming
+    # patches in one insertion are folded in by recomputing only their
+    # 27-neighbourhood rows (~1 ms); past it the insert falls back to a
+    # full table rebuild (~50 ms at bench scale,
+    # benchmarks/r5_claims_micro.json) — in practice only the first scan.
 
 
 @dataclasses.dataclass(frozen=True)

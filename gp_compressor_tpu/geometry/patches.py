@@ -412,11 +412,14 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
                      n_segments=B)
     if cfg.bank_order != "shuffle":
         shuffle_key = None
-    (u_s, v_s, d_s, r_s, g_s, b_s), starts = sort_by_claim(
+    (u_s, v_s, d_s, r_s, g_s, b_s, seg_sf), starts = sort_by_claim(
         claim, claimed, (loc_claim[:, 1], loc_claim[:, 2], loc_claim[:, 0],
-                         colors[:, 0], colors[:, 1], colors[:, 2]), B,
+                         colors[:, 0], colors[:, 1], colors[:, 2],
+                         jnp.where(claimed, claim, B).astype(dt)), B,
         rank=rank)
-    pos, mb, counts_i = bank_windows(starts, B, P, shuffle_key=shuffle_key)
+    counts_i = starts[1:] - starts[:-1]
+    mb = jnp.arange(P, dtype=jnp.int32)[None, :] \
+        < jnp.minimum(counts_i, P)[:, None]
     counts = counts_i.astype(dt)
     safe = jnp.maximum(counts, 1.0)
 
@@ -438,14 +441,38 @@ def build_patches(points: jnp.ndarray, colors: jnp.ndarray,
     Wcnt = jax.ops.segment_sum(ones, wseg, num_segments=B * sz * sz + 1)
     W = (Wcnt[:B * sz * sz] > 0).reshape(B, sz * sz)
 
-    # banks: windowed gathers + per-bank demeaning (same values as the
-    # reference's per-point demean, src/gp_compressor.cpp:101-116)
-    Xb = jnp.where(mb[..., None],
-                   jnp.stack([u_s[pos], v_s[pos]], axis=-1), 0.0)
-    yb = jnp.where(mb[..., None], (d_s[pos] - mn[:, None])[..., None], 0.0)
-    cb = jnp.where(mb[..., None],
-                   jnp.stack([r_s[pos], g_s[pos], b_s[pos]], axis=-1)
-                   - c_mn[:, None, :], 0.0)
+    # banks: ONE [N, 6] scatter from the sorted payload (row i of segment
+    # b lands at slot (b, i - starts[b]) — measured 6.7 vs 22.4 ms against
+    # the window-gather form at [2048, 256] banks,
+    # benchmarks/r5_claims_micro.json), then per-bank demeaning (same
+    # values as the reference's per-point demean,
+    # src/gp_compressor.cpp:101-116). The shuffle path keeps the gather
+    # form: its per-slot rank is a random permutation, not the identity.
+    if shuffle_key is None:
+        seg_i = seg_sf.astype(jnp.int32)
+        rk_row = jnp.arange(N, dtype=jnp.int32) \
+            - starts[jnp.clip(seg_i, 0, B)]
+        okb = (seg_i < B) & (rk_row < P)
+        tgt = jnp.where(okb, seg_i * P + rk_row, B * P)
+        payload = jnp.stack([u_s, v_s, d_s, r_s, g_s, b_s], -1)
+        flat = jnp.zeros((B * P + 1, 6), dt).at[tgt].set(
+            jnp.where(okb[:, None], payload, 0.0), mode='drop')
+        Xb = flat[:B * P, :2].reshape(B, P, 2)
+        yb = jnp.where(mb[..., None],
+                       (flat[:B * P, 2].reshape(B, P)
+                        - mn[:, None])[..., None], 0.0)
+        cb = jnp.where(mb[..., None],
+                       flat[:B * P, 3:].reshape(B, P, 3)
+                       - c_mn[:, None, :], 0.0)
+    else:
+        pos, mb, _ = bank_windows(starts, B, P, shuffle_key=shuffle_key)
+        Xb = jnp.where(mb[..., None],
+                       jnp.stack([u_s[pos], v_s[pos]], axis=-1), 0.0)
+        yb = jnp.where(mb[..., None],
+                       (d_s[pos] - mn[:, None])[..., None], 0.0)
+        cb = jnp.where(mb[..., None],
+                       jnp.stack([r_s[pos], g_s[pos], b_s[pos]], axis=-1)
+                       - c_mn[:, None, :], 0.0)
 
     return PatchBatch(
         grid=grid, rotations=R, means=means, rgb_means=c_mn, W=W,

@@ -83,6 +83,16 @@ class MapState(NamedTuple):
     R_cloud: jnp.ndarray       # [3, 3]
     t_cloud: jnp.ndarray       # [3]
 
+    # PERSISTENT claim tables (registration.ClaimTables, dense gid-row
+    # layout): candidacy/priority/frame rows for scan->map claiming,
+    # shared by the per-scan registration AND the insert's claims pass,
+    # updated INCREMENTALLY as leaves become patches
+    # (registration.update_claim_tables; full rebuild only when more than
+    # MappingConfig.table_update_max leaves change in one insertion).
+    # The r4 design rebuilt these ~50 ms tables per scan because its
+    # reuse gate almost never held (benchmarks/r5_claims_micro.json).
+    tables: registration.ClaimTables
+
     def grid(self, res) -> VoxelGrid:
         # dense sorted-slot table: O(1) candidate lookups for claims
         # (key_to_leaf maps to gp_index; claims need KEY-ORDER priority,
@@ -126,6 +136,8 @@ def map_init(cfg: CompressorConfig, mcfg: MappingConfig,
         pend_cols=jnp.zeros((B, pending_capacity, 3), dtype),
         pend_count=jnp.zeros((B,), jnp.int32),
         R_cloud=jnp.eye(3, dtype=dtype), t_cloud=jnp.zeros(3, dtype),
+        tables=registration.empty_claim_tables_dense(n_cells, B,
+                                                     dtype=dtype),
     )
 
 
@@ -147,7 +159,7 @@ def map_insert(state: MapState, points, colors, valid,
                cfg: CompressorConfig, mcfg: MappingConfig,
                key: jax.Array, min_nbr, use_pallas: bool = False,
                depth_kp=None, depth_s20=None, depth_eps=None,
-               cached_tables=None, cached_grid=None,
+               cached_grid=None,
                _diag_stop: int = 0) -> MapState:
     """insert_into_map + train_processes (src/gp_mapping.cpp:37-152,293-343).
 
@@ -158,14 +170,11 @@ def map_insert(state: MapState, points, colors, valid,
     use_pallas routes the incremental GP training through the fused
     VMEM-resident kernel (TPU only).
 
-    cached_tables: optional slot-space ClaimTables built from the
-    PRE-insert map (registration.{_map_claim_tables} — the same tables
-    the per-scan registration already built). The table build is a
-    ~50 ms fixed cost per pass at bench scale, and in the tracked steady
-    state (no new leaves, no new patches, no sanitized-but-created
-    patches) the pre-insert tables are exactly the insert's tables, so
-    they are reused under a lax.cond on that condition; any change falls
-    back to a fresh build.
+    Claims run against state.tables, the PERSISTENT dense-layout claim
+    tables (see MapState.tables): leaves becoming patches this insertion
+    are folded in incrementally before the claims pass, and the updated
+    tables persist in the returned state (they are the next scan's
+    registration tables — no per-scan rebuild).
 
     Returns (MapState, info) where info carries the silent-truncation
     counters (SURVEY §5 observability; VERDICT r2 weak #8):
@@ -235,10 +244,9 @@ def map_insert(state: MapState, points, colors, valid,
         return k2l, lk, li, tbl
 
     if cached_grid is not None:
-        # steady state (no new leaves): the caller's prebuilt grid — from
-        # the same registration pass that built cached_tables — IS this
-        # insert's grid, so the two [n_cells] table scatters and the leaf
-        # argsort are skipped entirely
+        # steady state (no new leaves): the caller's prebuilt slot grid IS
+        # this insert's grid, so the two [n_cells] table scatters and the
+        # leaf argsort are skipped entirely
         key_to_leaf, leaf_keys, leaf_ids, slot_table = jax.lax.cond(
             any_new, rebuild_tables,
             lambda _: (state.key_to_leaf, state.leaf_keys, state.leaf_ids,
@@ -288,46 +296,52 @@ def map_insert(state: MapState, points, colors, valid,
     becomes = (~state.created) & (evidence >= min_nbr) & \
               (jnp.arange(B) < n_patches)
 
-    # ---- 3. claim points: trained old patches first-claim in key order,
-    # then newly-created patches (the reference's single leaf sweep
-    # interleaves both by leaf order; two priority classes differ only when
-    # an old and a new leaf contest a point — the old leaf's sphere claims
-    # it in either order because its clip frame exists) -------------------
+    # ---- 3. claim points against the PERSISTENT tables: trained old
+    # patches and newly-created patches first-claim in key order (the
+    # reference's single leaf sweep interleaves both by leaf order; the
+    # min-linear-key priority reproduces it exactly). Leaves that become
+    # patches THIS insertion are folded into the tables first — an
+    # incremental O(27-neighbourhood * K) row update in the common case,
+    # a full rebuild only past mcfg.table_update_max changed leaves
+    # (the first scan); the tracked steady state (no becomes) reuses the
+    # tables untouched, which also serves the NEXT scan's registration
+    # (add_cloud_fused) — the r4 per-scan rebuild was the insert's
+    # largest fixed cost (~50 ms, benchmarks/r5_claims_micro.json).
     trained_or_new = state.created | becomes
     rot_eff = jnp.where(becomes[:, None, None], R_fresh, state.rotations)
     mean_eff = jnp.where(becomes[:, None], centers_by_id, state.means)
-    # pad bank lookups with one dummy row
-    rot_p = jnp.concatenate([rot_eff, jnp.eye(3, dtype=dt)[None]], 0)
-    mean_p = jnp.concatenate([mean_eff, jnp.zeros((1, 3), dt)], 0)
-    trained_p = jnp.concatenate([trained_or_new, jnp.zeros((1,), bool)])
-    ids_p = jnp.concatenate([leaf_ids, jnp.asarray([B], jnp.int32)])
 
-    if cached_tables is None or grid.table is None:
-        claim, loc_claim, claimed = registration.claim_to_patches(
-            grid, rot_p, mean_p, trained_p, points, valid, cfg.patch.res,
-            leaf_ids=ids_p)
-    else:
-        # slot-space tables; reuse the pre-insert ones when they are
-        # provably identical: the caller builds them with trained =
-        # `created` in slot order (add_cloud_fused), which equals this
-        # insert's claim set (created | becomes) exactly when no leaf
-        # entered the grid and no patch became created — the tracked
-        # steady state, where the ~40 ms rebuild now never runs (the r4
-        # gate also required GP-size>0 == created, which the first
-        # sanitized patch broke for the rest of the stream)
-        ids_c = jnp.minimum(leaf_ids, B)
-        reuse_ok = (~jnp.any(is_new & ~overflow)) & (~jnp.any(becomes))
+    key_by_gid = jnp.full((B + 1,), fill, jnp.int32).at[slot_tgt].set(
+        leaf_keys, mode='drop')[:B]            # (the carve reuses this)
 
-        def fresh(_):
-            return registration.build_claim_tables(
-                grid, rot_p[ids_c], mean_p[ids_c],
-                trained_p[ids_c] & (jnp.arange(B) < n_patches))
+    K_INC = mcfg.table_update_max
+    n_changed = jnp.sum(becomes)
+    changed_gids = jnp.sort(jnp.where(
+        becomes, jnp.arange(B, dtype=jnp.int32), B))[:K_INC]
+    changed_ok = changed_gids < B
+    changed_gids = jnp.minimum(changed_gids, B - 1)
 
-        tables = jax.lax.cond(reuse_ok, lambda _: cached_tables, fresh, None)
-        claim_slot, loc_claim, claimed = registration.claim_with_tables(
-            tables, grid, points, valid, cfg.patch.res, out_fill=B)
-        # slot -> gp_index (ids_p[B] = B keeps the unclaimed fill)
-        claim = ids_p[jnp.minimum(claim_slot, B)]
+    def tab_incr(t):
+        return registration.update_claim_tables(
+            t, changed_gids, changed_ok, key_to_leaf, key_by_gid,
+            trained_or_new, rot_eff, state.dims)
+
+    def tab_full(t):
+        return registration.build_claim_tables_dense(
+            key_to_leaf, key_by_gid, n_patches, trained_or_new, rot_eff,
+            mean_eff, state.dims)
+
+    tables = jax.lax.cond(
+        n_changed > K_INC, tab_full,
+        lambda t: jax.lax.cond(n_changed > 0, tab_incr, lambda tt: tt, t),
+        state.tables)
+    # nm (winner normal/mean for the depth coordinate) is [B, 6] — always
+    # refreshed, never incrementally maintained
+    tables = tables._replace(nm=jnp.concatenate(
+        [rot_eff[:, :, 0], mean_eff], axis=1))
+
+    claim, loc_claim, claimed = registration.claim_with_tables(
+        tables, grid, points, valid, cfg.patch.res, out_fill=B)
 
     r_ = _diag(3, claim, loc_claim, claimed)
     if r_ is not None:
@@ -448,28 +462,44 @@ def map_insert(state: MapState, points, colors, valid,
     if r_ is not None:
         return r_
 
-    # ---- 6. training banks: contiguous windows of the shared sort, in
-    # deterministic center-out insertion order; depth/color demeaning
-    # happens at window-gather time (new patches demean by mn/cmn, old
-    # patches use raw local depth and their stored color mean) -----------
+    # ---- 6. training banks: ONE [N, 6] scatter from the shared sort into
+    # the [B, Pmax] banks (row i of segment b lands at (b, i - starts[b]))
+    # in deterministic center-out insertion order. The scatter form pays N
+    # writes once; the previous window-gather form paid B*Pmax gather
+    # positions x 6 arrays (measured 22.4 ms vs 6.7 ms at the 150k-point
+    # bench insert, benchmarks/r5_claims_micro.json). Depth/color
+    # demeaning applies after the scatter on the [B, Pmax] banks (new
+    # patches demean by mn/cmn, old patches use raw local depth and their
+    # stored color mean).
     Sp = mcfg.spill_bank
     mn_eff = jnp.where(becomes, mn, 0.0)                  # [B]
 
-    def window(rank0, width):
-        rk = rank0 + jnp.arange(width, dtype=jnp.int32)
-        m = rk[None, :] < jnp.minimum(counts_b, rank0 + width)[:, None]
-        pos = jnp.minimum(starts2[:B, None] + rk[None, :], Nnz - 1)
-        X = jnp.where(m[..., None], jnp.stack([u_s[pos], v_s[pos]], -1), 0.0)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    seg_i = seg_f.astype(jnp.int32)                       # [N] sorted segs
+    rank_row = iota - starts2[jnp.clip(seg_i, 0, 2 * B)]  # in-segment rank
+    payload6 = jnp.stack([u_s, v_s, d_s, r_s, g_s, b_s], -1)
+    is_claim_row = seg_i < B
+
+    def bank_scatter(rank0, width):
+        okb = is_claim_row & (rank_row >= rank0) \
+            & (rank_row < rank0 + width)
+        tgt = jnp.where(okb, seg_i * width + (rank_row - rank0), B * width)
+        flat = jnp.zeros((B * width + 1, 6), dt).at[tgt].set(
+            jnp.where(okb[:, None], payload6, 0.0), mode='drop')
+        m = (rank0 + jnp.arange(width, dtype=jnp.int32))[None, :] \
+            < jnp.minimum(counts_b, rank0 + width)[:, None]
+        X = flat[:B * width, :2].reshape(B, width, 2)
         Y = jnp.where(m[..., None],
-                      (d_s[pos] - mn_eff[:, None])[..., None], 0.0)
+                      (flat[:B * width, 2].reshape(B, width)
+                       - mn_eff[:, None])[..., None], 0.0)
         C = jnp.where(m[..., None],
-                      jnp.stack([r_s[pos], g_s[pos], b_s[pos]], -1)
+                      flat[:B * width, 3:].reshape(B, width, 3)
                       - rgb_means[:, None, :], 0.0)
         return X, Y, C, m
 
-    Xb, Yb, Cb, Mb = window(0, Pmax)
+    Xb, Yb, Cb, Mb = bank_scatter(0, Pmax)
     if Sp > 0:
-        Xsp, Ysp, Csp, Msp = window(Pmax, Sp)
+        Xsp, Ysp, Csp, Msp = bank_scatter(Pmax, Sp)
 
     r_ = _diag(6, Xb, Yb, Cb, Mb)
     if r_ is not None:
@@ -554,11 +584,8 @@ def map_insert(state: MapState, points, colors, valid,
     pend_cols = jnp.where(becomes[:, None, None], 0.0, state.pend_cols)
     pend_count0 = jnp.where(becomes, 0, state.pend_count)
 
-    iota = jnp.arange(N, dtype=jnp.int32)
-    seg_i = seg_f.astype(jnp.int32)                       # [N] sorted segs
     is_pend_row = (seg_i >= B) & (seg_i < 2 * B)
     b_row = jnp.clip(seg_i - B, 0, B - 1)
-    rank_row = iota - starts2[jnp.clip(seg_i, 0, 2 * B)]
     slot = pend_count0[b_row] + rank_row
     okp = is_pend_row & (slot < Pp)
     pflat = jnp.where(okp, b_row * Pp + slot, B * Pp)
@@ -587,8 +614,6 @@ def map_insert(state: MapState, points, colors, valid,
         return r_
 
     # ---- 8. free-space carving (every carve_stride-th ray) ---------------
-    key_by_gid = jnp.full((B + 1,), fill, jnp.int32).at[slot_tgt].set(
-        leaf_keys, mode='drop')[:B]
     cs = mcfg.carve_stride
     free = _carve_free_space(state, key_to_leaf, created, rotations, means,
                              state.free, points[::cs],
@@ -602,7 +627,7 @@ def map_insert(state: MapState, points, colors, valid,
         n_patches=n_patches, rotations=rotations, means=means,
         rgb_means=rgb_means, W=W, free=free, created=created,
         depth_gp=depth_gp, rgb_gp=rgb_gp, pend_pts=pend_pts,
-        pend_cols=pend_cols, pend_count=pend_count), info
+        pend_cols=pend_cols, pend_count=pend_count, tables=tables), info
 
 
 def _bank_training_points(claim, claimed, uv, depth, cols, B, P,
@@ -794,6 +819,41 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
 # the full add_cloud loop
 # ---------------------------------------------------------------------------
 
+def _map_view_gid(state: MapState, cfg: CompressorConfig):
+    """Registration view of the map in gp_index (insertion) order — NO
+    permutation gathers: claims against the persistent state.tables return
+    gp indices directly, so banks/GP states/centers are consumed
+    identity-ordered (the slot-permuted _map_as_compressed below gathers
+    the full GP state pytree — ~7 [B]-row gathers per scan — purely to
+    translate claims into slot space).
+
+    grid.keys here are key_by_gid (NOT sorted; table=None): valid only
+    for geometry (origin/dims/res) and voxel_centers — never for lookups
+    or table-less claiming. Always pair this view with state.tables."""
+    from gp_compressor_tpu.geometry.patches import PatchBatch
+    from gp_compressor_tpu.workloads.compressor import CompressedCloud
+
+    B = state.rotations.shape[0]
+    fill = jnp.iinfo(jnp.int32).max
+    slot_tgt = jnp.where(jnp.arange(B) < state.n_patches, state.leaf_ids, B)
+    key_by_gid = jnp.full((B + 1,), fill, jnp.int32).at[slot_tgt].set(
+        state.leaf_keys, mode='drop')[:B]
+    grid = VoxelGrid(keys=key_by_gid, n_leaves=state.n_patches,
+                     origin=state.origin, dims=state.dims,
+                     res=jnp.asarray(cfg.patch.res, state.origin.dtype),
+                     table=None)
+    dummy = jnp.zeros((B, 0, 2), state.means.dtype)
+    batch = PatchBatch(
+        grid=grid, rotations=state.rotations, means=state.means,
+        rgb_means=state.rgb_means, W=state.W,
+        X=dummy, y=jnp.zeros((B, 0, 1), state.means.dtype),
+        rgb=jnp.zeros((B, 0, 3), state.means.dtype),
+        mask=jnp.zeros((B, 0), bool), counts=jnp.zeros((B,), jnp.int32),
+        claims=jnp.zeros((0,), jnp.int32), n_leaves=state.n_patches)
+    return CompressedCloud(patch=batch, depth_gp=state.depth_gp,
+                           rgb_gp=state.rgb_gp)
+
+
 def _map_as_compressed(state: MapState, cfg: CompressorConfig):
     """Lightweight registration view of the map (no copies of GP banks)."""
     from gp_compressor_tpu.geometry.patches import PatchBatch
@@ -843,20 +903,19 @@ def add_cloud_fused(state: MapState, points, colors, valid,
     grid_cached = None
 
     if register_scan:
-        comp = _map_as_compressed(state, cfg)
-        grid_cached = comp.patch.grid
-        has_map = state.n_patches > 0
+        # gp_index-ordered view + the PERSISTENT state.tables: no per-scan
+        # table build and no slot-permutation gathers of the GP state
+        # pytree (the r4 design rebuilt ~50 ms tables per scan because its
+        # reuse gate almost never held; the persistent tables are updated
+        # incrementally inside map_insert as leaves become patches). The
+        # candidate set is `created` — sanitized patches keep claiming and
+        # retrain instead of dropping evidence (PARITY.md divergence 22).
+        comp = _map_view_gid(state, cfg)
+        grid_cached = state.grid(cfg.patch.res)   # sorted-slot table for
+        has_map = state.n_patches > 0             # the insert's allocator
         k = mcfg.reg_stride
-        # one table build serves the whole scan: the registration loop
-        # AND (in the tracked steady state) the insert's claims pass. The
-        # candidate set is `created` (slot order) rather than GP-size>0 —
-        # see _map_claim_tables: this keeps sanitized patches claimable
-        # (they retrain instead of dropping evidence) and makes the tables
-        # EXACTLY the insert's whenever no leaf/patch is added, so the
-        # steady state never rebuilds them (the r4 gate compared trained
-        # to created and broke permanently after the first sanitize)
-        tables = registration._map_claim_tables(
-            comp, trained=state.created[state.leaf_ids])
+        tables = state.tables._replace(nm=jnp.concatenate(
+            [state.rotations[:, :, 0], state.means], axis=1))
 
         def do_reg(_):
             # register a strided subsample, then carry the recovered pose
@@ -897,7 +956,7 @@ def add_cloud_fused(state: MapState, points, colors, valid,
         lambda _: map_insert(state, pts, colors, valid, cfg, mcfg, key,
                              min_nbr, use_pallas=use_pallas,
                              depth_kp=depth_kp, depth_s20=depth_s20,
-                             depth_eps=depth_eps, cached_tables=tables,
+                             depth_eps=depth_eps,
                              cached_grid=grid_cached),
         None)
     return state, diverged, reg_steps, info
@@ -1020,7 +1079,7 @@ def smc_refine_pose(state: MapState, points, colors, valid,
     """
     from gp_compressor_tpu.inference import smc as smc_mod
 
-    comp = _map_as_compressed(state, cfg)
+    comp = _map_view_gid(state, cfg)
     dkp, _ = default_params(cfg)
     # calibrated mapping scores particles on the SAME density field the
     # stream registers/trains against (the reference-constants field's
@@ -1049,11 +1108,11 @@ def smc_refine_pose(state: MapState, points, colors, valid,
     dmean = dmean[..., 0]
     trained = sparse_gp.size(comp.depth_gp) > 0
 
-    # candidate tables are pose-independent: build ONCE outside the particle
-    # vmap and the iteration loop (previously claim_to_patches rebuilt them
-    # per particle per iteration — num_particles * n_iters table builds of
-    # ~50 ms each at bench scale)
-    tables = registration._map_claim_tables(comp)
+    # candidate tables are pose-independent AND already live in the map
+    # state (persistent dense layout, gid claims — matching the identity-
+    # ordered view above); only nm needs refreshing
+    tables = state.tables._replace(nm=jnp.concatenate(
+        [state.rotations[:, :, 0], state.means], axis=1))
     B_out = comp.patch.rotations.shape[0]
 
     def pose_loglik(poses):

@@ -81,9 +81,18 @@ class ClaimTables(NamedTuple):
     """
 
     cell_row: jnp.ndarray    # [nc] int32 in-grid cell -> base row (-1 none)
-    sidx: jnp.ndarray        # [Bx*8, 8] candidate leaf slot (fill = B_slots
-                             #           where the candidate is missing or
-                             #           untrained)
+    prio: jnp.ndarray        # [Bx*8, 8] candidate claim PRIORITY = the
+                             # candidate leaf's linear voxel key (fill =
+                             # voxel._FILL where the candidate is missing
+                             # or untrained). First-claim = min priority —
+                             # identical to the reference's leaf-iteration
+                             # (key) order, and stable under new-leaf
+                             # insertion (sorted SLOTS shift when a leaf
+                             # is added; keys never do), which is what
+                             # makes the mapping stream's PERSISTENT
+                             # incrementally-updated tables possible
+                             # (build_claim_tables_dense /
+                             # update_claim_tables below).
     gid: jnp.ndarray         # [Bx*8, 8] candidate gp_index (0 where !ok)
     R12: jnp.ndarray         # [Bx*8, 8, 6] candidate frame cols 1, 2
                              # (u/v axes; 0 where !ok). Col 0 (the normal)
@@ -117,18 +126,23 @@ def build_claim_tables(grid, rotations, means, trained,
     cell_row = jnp.full((nc,), -1, i32).at[ext_lin].set(
         jnp.arange(Bx, dtype=i32), mode='drop')
 
-    nbi, nbo = [], []
+    nbi, nbo, nbl = [], [], []
     for off in _OFFS27:
         lin_k = voxel.linearize(ext3 + jnp.asarray(off, i32), grid.dims)
         i_k, ok_k = voxel.lookup(grid, lin_k)
         nbi.append(i_k)
         nbo.append(ok_k)
+        nbl.append(lin_k)
     nb_idx = jnp.stack(nbi, 1)                                   # [Bx, 27]
     nb_ok = jnp.stack(nbo, 1)
+    nb_lin = jnp.stack(nbl, 1)
     g = jnp.where(nb_ok, nb_idx, 0)
     g = g if leaf_ids is None else leaf_ids[g]
     cok = nb_ok & trained[g]
-    sidx27 = jnp.where(cok, nb_idx, B_slots).astype(i32)
+    # priority = the candidate's linear voxel key (its own cell's key):
+    # min-key first-claim == the reference's leaf-iteration order, and ==
+    # the former min-sorted-slot rule (slots are key-sorted)
+    prio27 = jnp.where(cok, nb_lin, voxel._FILL).astype(i32)
     gid27 = jnp.where(cok, g, 0).astype(i32)
     R12_27 = jnp.where(cok[..., None],
                        rotations[g][..., 1:].transpose(0, 1, 3, 2)
@@ -137,10 +151,127 @@ def build_claim_tables(grid, rotations, means, trained,
     sel = jnp.asarray(voxel.OCT_CAND_27)                         # [8, 8]
     return ClaimTables(
         cell_row=cell_row,
-        sidx=sidx27[:, sel].reshape(Bx * 8, 8),
+        prio=prio27[:, sel].reshape(Bx * 8, 8),
         gid=gid27[:, sel].reshape(Bx * 8, 8),
         R12=R12_27[:, sel].reshape(Bx * 8, 8, 6),
         nm=jnp.concatenate([rotations[:, :, 0], means], axis=1))
+
+
+def _claim_table_rows(cells3, ok_cell, key_to_leaf, trained, rotations,
+                      dims):
+    """Row content for a batch of cells in the DENSE (gid-row-layout)
+    claim tables: per (cell, octant), the 8 reachable candidates' claim
+    priority (linear key, voxel._FILL = missing/untrained), gp_index and
+    frame u/v columns. Same content rule as build_claim_tables, but
+    candidate lookup goes through the mapping's dense cell->gp_index map
+    instead of the sorted-slot grid, so the row content is independent of
+    slot ordering (the property that makes incremental updates sound)."""
+    i32 = jnp.int32
+    M = cells3.shape[0]
+    offs = jnp.asarray(_OFFS27, i32)
+    nc = key_to_leaf.shape[0]
+    cand3 = cells3[:, None, :] + offs[None]               # [M, 27, 3]
+    lin = voxel.linearize(cand3, dims)                    # _FILL if oob
+    g = key_to_leaf[jnp.clip(lin, 0, nc - 1)]
+    gs = jnp.maximum(g, 0)
+    ok = ok_cell[:, None] & (lin != voxel._FILL) & (g >= 0) & trained[gs]
+    prio27 = jnp.where(ok, lin, voxel._FILL).astype(i32)
+    gid27 = jnp.where(ok, gs, 0).astype(i32)
+    R12_27 = jnp.where(ok[..., None],
+                       rotations[gid27][..., 1:].transpose(0, 1, 3, 2)
+                       .reshape(M, 27, 6), 0.0)
+    sel = jnp.asarray(voxel.OCT_CAND_27)                  # [8, 8]
+    return (prio27[:, sel].reshape(M * 8, 8),
+            gid27[:, sel].reshape(M * 8, 8),
+            R12_27[:, sel].reshape(M * 8, 8, 6))
+
+
+def build_claim_tables_dense(key_to_leaf, key_by_gid, n_patches, trained,
+                             rotations, means, dims):
+    """Full build of the mapping stream's PERSISTENT claim tables.
+
+    Row layout: base row gid*27 + j represents the cell leaf_cell(gid) +
+    _OFFS27[j] (gp_index rows are stable across scans; the sorted-slot
+    layout of build_claim_tables is not, because inserting a leaf shifts
+    every later slot). Content is cell-determined, so duplicate writers
+    (adjacent leaves sharing a dilated cell) produce identical rows and
+    any cell_row winner is correct. O(27*27*B) lookups — the ~50 ms/scan
+    fixed cost the incremental path (update_claim_tables) avoids; this
+    full build runs only when more than MappingConfig.table_update_max
+    leaves change in one insertion (in practice: the first scan)."""
+    B = key_by_gid.shape[0]
+    i32 = jnp.int32
+    offs = jnp.asarray(_OFFS27, i32)
+    nc = key_to_leaf.shape[0]
+    exists = jnp.arange(B) < n_patches
+    leaf3 = voxel.delinearize(jnp.minimum(key_by_gid, voxel._FILL - 1),
+                              dims)
+    cells3 = (leaf3[:, None, :] + offs[None]).reshape(B * 27, 3)
+    lin = voxel.linearize(cells3, dims)
+    okc = jnp.repeat(exists, 27) & (lin != voxel._FILL)
+    cell_row = jnp.full((nc,), -1, i32).at[
+        jnp.where(okc, lin, nc)].set(jnp.arange(B * 27, dtype=i32),
+                                     mode='drop')
+    prio, gid, R12 = _claim_table_rows(cells3, okc, key_to_leaf, trained,
+                                       rotations, dims)
+    nm = jnp.concatenate([rotations[:, :, 0], means], axis=1)
+    return ClaimTables(cell_row=cell_row, prio=prio, gid=gid, R12=R12,
+                       nm=nm)
+
+
+def empty_claim_tables_dense(n_cells: int, B: int, dtype=jnp.float32):
+    """map_init's all-empty persistent tables (no candidates anywhere)."""
+    i32 = jnp.int32
+    return ClaimTables(
+        cell_row=jnp.full((n_cells,), -1, i32),
+        prio=jnp.full((B * 27 * 8, 8), voxel._FILL, i32),
+        gid=jnp.zeros((B * 27 * 8, 8), i32),
+        R12=jnp.zeros((B * 27 * 8, 8, 6), dtype),
+        nm=jnp.zeros((B, 6), dtype))
+
+
+def update_claim_tables(tables: ClaimTables, changed_gids, changed_ok,
+                        key_to_leaf, key_by_gid, trained, rotations, dims):
+    """Incrementally fold <= K newly-trained leaves into the persistent
+    claim tables (VERDICT r4 next #1: the per-scan ~50 ms full rebuild —
+    measured, benchmarks/r5_claims_micro.json — was the mapping insert's
+    single largest fixed cost; the steady-state bench stream keeps
+    creating a handful of patches per scan as pending voxels cross
+    min_points_new_patch, so the r4 reuse gate almost never held).
+
+    A leaf's candidacy affects exactly the rows of its 27-neighbourhood
+    cells, so the update (a) allocates rows from the changed leaf's own
+    row budget for any of those cells not yet covered, and (b) recomputes
+    those rows' full content against the CURRENT map. changed_gids: [K]
+    gp indices (padded; changed_ok False on pads). Cost: O(27*27*K)
+    lookups + an O(27*8*K)-row scatter — ~1 ms at K=96 vs ~50 ms for the
+    full build."""
+    i32 = jnp.int32
+    K = changed_gids.shape[0]
+    offs = jnp.asarray(_OFFS27, i32)
+    nc = tables.cell_row.shape[0]
+    g = jnp.clip(changed_gids, 0, key_by_gid.shape[0] - 1)
+    leaf3 = voxel.delinearize(jnp.minimum(key_by_gid[g], voxel._FILL - 1),
+                              dims)                       # [K, 3]
+    cells3 = (leaf3[:, None, :] + offs[None]).reshape(K * 27, 3)
+    lin = voxel.linearize(cells3, dims)
+    okc = jnp.repeat(changed_ok, 27) & (lin != voxel._FILL)
+    cur = tables.cell_row[jnp.clip(lin, 0, nc - 1)]
+    own = (g[:, None] * 27
+           + jnp.arange(27, dtype=i32)[None]).reshape(K * 27)
+    rowid = jnp.where(cur >= 0, cur, own)
+    cell_row = tables.cell_row.at[jnp.where(okc, lin, nc)].set(
+        rowid, mode='drop')
+    prio, gid, R12 = _claim_table_rows(cells3, okc, key_to_leaf, trained,
+                                       rotations, dims)
+    tgt = jnp.where(okc[:, None], rowid[:, None] * 8
+                    + jnp.arange(8, dtype=i32)[None],
+                    tables.prio.shape[0]).reshape(K * 27 * 8)
+    return tables._replace(
+        cell_row=cell_row,
+        prio=tables.prio.at[tgt].set(prio, mode='drop'),
+        gid=tables.gid.at[tgt].set(gid, mode='drop'),
+        R12=tables.R12.at[tgt].set(R12, mode='drop'))
 
 
 def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
@@ -169,7 +300,7 @@ def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
     row8 = jnp.where(has, row, 0) * 8 + oct_id
 
     Rk = tables.R12[row8].reshape(N, 8, 2, 3)                    # row gather
-    sk = tables.sidx[row8]
+    sk = tables.prio[row8]
     gk = tables.gid[row8]
     co = jnp.asarray(voxel.OCT_CAND_OFFS, dt)[oct_id] * res      # [N, 8, 3]
     relc = relh[:, None, :] - co                                 # p - center_k
@@ -178,14 +309,15 @@ def claim_with_tables(tables: ClaimTables, grid, points, valid, res,
     # patch mean up to R12 _|_ normal — see ClaimTables.R12); VPU
     # broadcast-multiply + reduce
     loc12 = jnp.sum(Rk * relc[:, :, None, :], axis=3)            # [N, 8, 2]
-    pass_ = (has[:, None] & (sk < B_slots)
+    pass_ = (has[:, None] & (sk != voxel._FILL)
              & (d2 <= (voxel.SQRT3_2 * res) ** 2)
              & (loc12[..., 0] <= half) & (loc12[..., 0] >= -half)
              & (loc12[..., 1] <= half) & (loc12[..., 1] >= -half))
-    masked = jnp.where(pass_, sk, B_slots)
-    # first-claim = min leaf slot; winner one-hot unique for claimed points
+    masked = jnp.where(pass_, sk, voxel._FILL)
+    # first-claim = min priority (key order); winner one-hot unique for
+    # claimed points (keys are unique per leaf)
     best = jnp.min(masked, axis=1)
-    claimed = best < B_slots
+    claimed = best != voxel._FILL
     win = masked == best[:, None]
     uv = jnp.sum(jnp.where(win[..., None], loc12, 0.0), axis=1)  # [N, 2]
     gwin = jnp.sum(jnp.where(win, gk, 0), axis=1)
@@ -282,19 +414,31 @@ def _claim_to_map(comp: CompressedCloud, points: jnp.ndarray,
 
 
 def _bank_points(claim, loc, colors, claimed, B, P):
-    """Bank claimed points into [B, P] via the claim-sorted window form
-    (patches.sort_by_claim: one value sort, then per-patch contiguous
-    window gathers — ~3x faster than per-slot random gathers)."""
-    from gp_compressor_tpu.geometry.patches import bank_windows, sort_by_claim
-    (x0, x1, x2, c0, c1, c2), starts = sort_by_claim(
+    """Bank claimed points into [B, P] via the claim-sorted scatter form
+    (patches.sort_by_claim + one [N, 6] scatter: row i of segment b lands
+    at slot (b, i - starts[b])). The scatter pays N writes once; the
+    window-gather form paid B*P gather positions per payload array
+    (measured 22.4 vs 6.7 ms at [2048, 256] x 150k points,
+    benchmarks/r5_claims_micro.json)."""
+    from gp_compressor_tpu.geometry.patches import sort_by_claim
+    dt = loc.dtype
+    (x0, x1, x2, c0, c1, c2, segf), starts = sort_by_claim(
         claim, claimed, (loc[:, 0], loc[:, 1], loc[:, 2],
-                         colors[:, 0], colors[:, 1], colors[:, 2]), B)
-    pos, Mb, _ = bank_windows(starts, B, P)
-    Xb = jnp.where(Mb[..., None],
-                   jnp.stack([x0[pos], x1[pos], x2[pos]], -1), 0.0)
-    Cb = jnp.where(Mb[..., None],
-                   jnp.stack([c0[pos], c1[pos], c2[pos]], -1), 0.0)
-    return Xb, Cb, Mb
+                         colors[:, 0], colors[:, 1], colors[:, 2],
+                         jnp.where(claimed, claim, B).astype(dt)), B)
+    N = claim.shape[0]
+    seg_i = segf.astype(jnp.int32)
+    rank = jnp.arange(N, dtype=jnp.int32) - starts[jnp.clip(seg_i, 0, B)]
+    ok = (seg_i < B) & (rank < P)
+    tgt = jnp.where(ok, seg_i * P + rank, B * P)
+    payload = jnp.stack([x0, x1, x2, c0, c1, c2], -1)
+    flat = jnp.zeros((B * P + 1, 6), dt).at[tgt].set(
+        jnp.where(ok[:, None], payload, 0.0), mode='drop')
+    counts = starts[1:] - starts[:-1]
+    Mb = jnp.arange(P, dtype=jnp.int32)[None, :] \
+        < jnp.minimum(counts, P)[:, None]
+    return (flat[:B * P, :3].reshape(B, P, 3),
+            flat[:B * P, 3:].reshape(B, P, 3), Mb)
 
 
 def _density_grads_closed(kp: RBFParams, s20, states, Xb, vals, mask,

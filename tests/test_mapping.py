@@ -359,10 +359,15 @@ def test_spill_bank_trains_overflow_points():
     assert bool(np.isfinite(np.asarray(w_s)[np.asarray(ok_s)]).all())
 
 
-def test_cached_claim_tables_match_fresh_build():
-    """map_insert with the pre-insert (registration) claim tables must
-    produce exactly the same state as the fresh per-insert build, both
-    when the steady-state reuse condition fires and when it cannot."""
+def test_persistent_claim_tables_incremental_matches_full():
+    """The PERSISTENT claim tables' incremental update (fold newly-created
+    leaves into their 27-neighbourhood rows) must be semantically identical
+    to a from-scratch full rebuild: identical claims, hence identical
+    post-insert states — across a growth insertion (new leaves + new
+    patches) AND a follow-up insertion (catches rows the incremental path
+    failed to allocate/refresh)."""
+    import dataclasses
+
     from gp_compressor_tpu.workloads import registration
 
     state = _fresh_map()
@@ -370,33 +375,54 @@ def test_cached_claim_tables_match_fresh_build():
     state, _ = mapping.map_insert(state, pts, cols, valid, CFG, MCFG,
                                   jax.random.key(0), jnp.asarray(1, jnp.int32))
 
-    # steady state: same cloud again -> no new leaves, no new patches
+    # growth scan: a shifted copy adds new leaves, and pending evidence
+    # pushes some voxels over the creation threshold
     pts2, cols2, valid2 = _cloud(5000, 1)
-    comp = mapping._map_as_compressed(state, CFG)
-    tables = registration._map_claim_tables(comp)
-
-    st_plain, info_p = mapping.map_insert(
-        state, pts2, cols2, valid2, CFG, MCFG, jax.random.key(1),
-        jnp.asarray(40, jnp.int32))
-    st_cache, info_c = mapping.map_insert(
-        state, pts2, cols2, valid2, CFG, MCFG, jax.random.key(1),
-        jnp.asarray(40, jnp.int32), cached_tables=tables)
-
-    for a, b in zip(jax.tree.leaves(st_plain), jax.tree.leaves(st_cache)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for k in info_p:
-        assert int(info_p[k]) == int(info_c[k])
-
-    # growth case (new leaves appear): reuse must fall back to fresh
-    pts3 = jnp.concatenate([pts2, pts2 + jnp.asarray([2.5, 0.0, 0.0],
+    pts3 = jnp.concatenate([pts2, pts2 + jnp.asarray([1.5, 0.0, 0.0],
                                                      pts2.dtype)])
     cols3 = jnp.concatenate([cols2, cols2])
     valid3 = jnp.ones(pts3.shape[0], bool)
-    st_plain3, _ = mapping.map_insert(
+
+    mc_full = dataclasses.replace(MCFG, table_update_max=0)  # force rebuild
+    st_inc, info_i = mapping.map_insert(
         state, pts3, cols3, valid3, CFG, MCFG, jax.random.key(2),
         jnp.asarray(40, jnp.int32))
-    st_cache3, _ = mapping.map_insert(
-        state, pts3, cols3, valid3, CFG, MCFG, jax.random.key(2),
-        jnp.asarray(40, jnp.int32), cached_tables=tables)
-    for a, b in zip(jax.tree.leaves(st_plain3), jax.tree.leaves(st_cache3)):
+    st_full, info_f = mapping.map_insert(
+        state, pts3, cols3, valid3, CFG, mc_full, jax.random.key(2),
+        jnp.asarray(40, jnp.int32))
+
+    # the scan must actually create patches, else nothing is exercised
+    assert int(jnp.sum(st_inc.created)) > int(jnp.sum(state.created))
+    for k in info_i:
+        assert int(info_i[k]) == int(info_f[k])
+
+    def non_table_leaves(st):
+        return jax.tree.leaves(st._replace(tables=jnp.zeros(())))
+
+    for a, b in zip(non_table_leaves(st_inc), non_table_leaves(st_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cross-layout claim parity on a probe cloud: the two table states may
+    # allocate row ids differently, but must claim identically
+    B = CFG.patch.max_patches
+    probe = pts3 + jnp.asarray(0.3 * CFG.patch.res, pts3.dtype)
+    grid = st_inc.grid(CFG.patch.res)
+    nm = jnp.concatenate([st_inc.rotations[:, :, 0], st_inc.means], axis=1)
+    out_i = registration.claim_with_tables(
+        st_inc.tables._replace(nm=nm), grid, probe, valid3, CFG.patch.res,
+        out_fill=B)
+    out_f = registration.claim_with_tables(
+        st_full.tables._replace(nm=nm), grid, probe, valid3, CFG.patch.res,
+        out_fill=B)
+    for a, b in zip(out_i, out_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # follow-up insertion continues identically from either table state
+    st_inc2, _ = mapping.map_insert(
+        st_inc, pts2, cols2, valid2, CFG, MCFG, jax.random.key(3),
+        jnp.asarray(40, jnp.int32))
+    st_full2, _ = mapping.map_insert(
+        st_full, pts2, cols2, valid2, CFG, mc_full, jax.random.key(3),
+        jnp.asarray(40, jnp.int32))
+    for a, b in zip(non_table_leaves(st_inc2), non_table_leaves(st_full2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
