@@ -750,15 +750,16 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
     s_hit = jnp.where(reaches, jnp.sum(jnp.abs(hk3 - st0.X), axis=-1),
                       bigstep).astype(jnp.int32)
 
-    # ---- single marking walk. One max-combined int mark array
-    # (1 = crossed/free, 2 = hit) halves the per-step scatter count; max
-    # gives hit-beats-free within the insertion, exactly the
-    # (free | fm) & ~hm combination it replaces.
-    marks = jnp.zeros((B * G + 1,), jnp.int32)
-    # one fused [B+1, 12] gather per step (R row-major + mean) instead of
-    # separate [B,3,3] and [B,3] gathers
-    plane = jnp.concatenate([rotations.reshape(B, 9), means], axis=1)
-    plane = jnp.concatenate([plane, jnp.zeros((1, 12), dt)], axis=0)
+    # ---- single visited-gid walk + ONE vectorized marking pass.
+    # The DDA while_loop body is deliberately minimal — record the gid of
+    # the voxel entered at step s into a [steps, N] buffer and advance —
+    # because the walk's cost is per-step small-array op LATENCY, not
+    # bandwidth (~30 sequential steps of [N_rays] work; the former body
+    # also did the plane-intersection math, clip test and a scatter-max
+    # per step). All (step, ray) plane/cell/mark math then runs once,
+    # batched over the full [steps, N] buffer, ending in one scatter-max.
+    # Marks: 1 = crossed/free, 2 = hit; max gives hit-beats-free within
+    # the insertion, exactly the (free | fm) & ~hm combination.
 
     def gid_of(st):
         lin = voxel.linearize(st.X, dims)
@@ -769,48 +770,62 @@ def _carve_free_space(state: MapState, key_to_leaf, created, rotations,
         s, st, _ = carry
         return (s < steps) & jnp.any(st.active)
 
-    def one_step(s, st, marks):
+    def one_step(s, st, gidbuf):
         gid = gid_of(st)                 # active implies s <= s_hit
-        ok = (gid >= 0) & created[jnp.maximum(gid, 0)] & (s < steps)
-        g = jnp.maximum(gid, 0)
-        pl = plane[jnp.where(ok, g, B)]
-        R = pl[:, :9].reshape(N, 3, 3)
-        n = R[:, :, 0]                                    # patch normals
-        mid = pl[:, 9:]
-        denom = jnp.sum(n * delta, axis=-1)
-        dplane = jnp.sum(n * (mid - cam[None, :]), axis=-1) / \
-            jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-        inter = cam[None, :] + dplane[:, None] * delta
-        loc = jnp.sum(R * (inter - mid)[:, :, None], axis=1)   # R^T rel
-        clip_ok = (jnp.abs(loc[:, 1]) <= half) & (jnp.abs(loc[:, 2]) <= half)
-        cell = jnp.clip((sz * (loc[:, 1] / res + 0.5)).astype(jnp.int32),
-                        0, sz - 1) * sz + \
-            jnp.clip((sz * (loc[:, 2] / res + 0.5)).astype(jnp.int32),
-                     0, sz - 1)
-        okm = ok & clip_ok
-        idx = jnp.where(okm, g * G + cell, B * G)
-        # the 2-mark lands only when the walk is genuinely AT the hit voxel
-        # (guards the measure-zero corner where float tie-breaking makes
-        # the DDA visit set differ from the slab test)
-        val = jnp.where((s == s_hit) & (gid == hit_claim), 2, 1)
-        marks = marks.at[idx].max(val)
+        # overrun-safe buffer write (the 4-substep unroll may run past
+        # `steps`): clamp the row and keep its existing contents where
+        # this substep is out of range or the ray is done
+        row = jnp.minimum(s, steps - 1)
+        cur = jax.lax.dynamic_index_in_dim(gidbuf, row, 0, keepdims=False)
+        col = jnp.where((s < steps) & (gid >= 0), gid, cur)
+        gidbuf = jax.lax.dynamic_update_index_in_dim(gidbuf, col, row, 0)
         st = voxel.ray_walk_step(st, dims)
-        return s + 1, st._replace(active=st.active & (s < s_hit)), marks
+        return s + 1, st._replace(active=st.active & (s < s_hit)), gidbuf
 
     def body(carry):
         # 4 DDA steps per while iteration: the loop-carried bookkeeping
         # (cond eval, carry round trip) was a measurable share of the
-        # ~40-step walk's cost; each micro-step is individually gated on
-        # (s < steps) and ray activity, so overrunning the cond check by
-        # up to 3 steps marks nothing extra
-        s, st, marks = carry
+        # ~40-step walk's cost
+        s, st, gidbuf = carry
         for _ in range(4):
-            s, st, marks = one_step(s, st, marks)
-        return s, st, marks
+            s, st, gidbuf = one_step(s, st, gidbuf)
+        return s, st, gidbuf
 
     st0 = st0._replace(active=reaches)
-    _, _, marks = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
-                                                  st0, marks))
+    gidbuf0 = jnp.full((steps, N), -1, jnp.int32)
+    _, _, gidbuf = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), st0, gidbuf0))
+
+    # ---- batched marking pass over all (step, ray) visits -------------
+    # one fused [B+1, 12] gather (R row-major + mean) per visit
+    plane = jnp.concatenate([rotations.reshape(B, 9), means], axis=1)
+    plane = jnp.concatenate([plane, jnp.zeros((1, 12), dt)], axis=0)
+    ok = (gidbuf >= 0) & created[jnp.maximum(gidbuf, 0)]      # [S, N]
+    g = jnp.maximum(gidbuf, 0)
+    pl = plane[jnp.where(ok, g, B)]                           # [S, N, 12]
+    R = pl[..., :9].reshape(steps, N, 3, 3)
+    n = R[..., :, 0]                                          # normals
+    mid = pl[..., 9:]
+    denom = jnp.sum(n * delta[None], axis=-1)
+    dplane = jnp.sum(n * (mid - cam[None, None, :]), axis=-1) / \
+        jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    inter = cam[None, None, :] + dplane[..., None] * delta[None]
+    loc = jnp.sum(R * (inter - mid)[..., :, None], axis=2)    # R^T rel
+    clip_ok = (jnp.abs(loc[..., 1]) <= half) & (jnp.abs(loc[..., 2]) <= half)
+    cell = jnp.clip((sz * (loc[..., 1] / res + 0.5)).astype(jnp.int32),
+                    0, sz - 1) * sz + \
+        jnp.clip((sz * (loc[..., 2] / res + 0.5)).astype(jnp.int32),
+                 0, sz - 1)
+    okm = ok & clip_ok
+    idx = jnp.where(okm, g * G + cell, B * G)
+    # the 2-mark lands only when the walk is genuinely AT the hit voxel
+    # (guards the measure-zero corner where float tie-breaking makes the
+    # DDA visit set differ from the slab test)
+    svec = jnp.arange(steps, dtype=jnp.int32)[:, None]
+    val = jnp.where((svec == s_hit[None, :]) & (gidbuf == hit_claim[None, :]),
+                    2, 1)
+    marks = jnp.zeros((B * G + 1,), jnp.int32).at[idx.reshape(-1)].max(
+        val.reshape(-1))
     m = marks[:B * G].reshape(B, G)
     return (free | (m == 1)) & ~(m == 2)
 
