@@ -105,34 +105,71 @@ def measure_cpu_baseline(pts, cols, seed=0):
     return n_done / dt
 
 
+ROW_NAMES = ("calibrated", "nuts", "registration", "mapping", "smc",
+             "ksvd")
+
+
+def _row_subprocess(name: str, timeout_s: int):
+    """Run one bench row in an ISOLATED python subprocess and parse its
+    final JSON line.
+
+    Why: the axon TPU worker accumulates per-client state across loaded
+    executables; measured round 5, loading the 16-chain NUTS program into
+    a worker session that already ran the fused headline pipeline crashes
+    the worker ("TPU worker process crashed or restarted") — every
+    program pair runs fine in a fresh process. Per-row subprocesses give
+    crash AND hang containment (SURVEY §5 failure-containment
+    discipline): a dead/wedged row becomes an "error" entry plus a
+    recovery pause instead of killing every later row (which is exactly
+    what happened to two full bench runs). The parent NEVER touches the
+    single-client TPU tunnel — rows run strictly sequentially.
+    """
+    import subprocess
+    import sys
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--row", name],
+                           capture_output=True, text=True, cwd=REPO,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"row '{name}' timed out after {timeout_s}s"}
+    json_lines = [ln for ln in p.stdout.splitlines()
+                  if ln.startswith("{")]
+    if p.returncode != 0 or not json_lines:
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        return {"error": f"row '{name}' rc={p.returncode}: "
+                         + " | ".join(tail)[-400:]}
+    return json.loads(json_lines[-1])
+
+
 def main():
-    import jax
-    import jax.numpy as jnp
+    """Orchestrator: spawns each row as an isolated subprocess (see
+    _row_subprocess) and prints the assembled ONE-line JSON. Touches no
+    jax/TPU state itself."""
+    result = _row_subprocess("headline", timeout_s=3000)
+    if "error" in result:
+        time.sleep(90)                       # tunnel recovery, retry once
+        result = _row_subprocess("headline", timeout_s=3000)
+    if "error" in result:
+        print(json.dumps({"metric": "gp_compress_decompress_throughput",
+                          "value": 0, "unit": "points/s", "vs_baseline": 0,
+                          "extra": result}))
+        return
+    if os.environ.get("GPTPU_BENCH_HEADLINE_ONLY") != "1":
+        for name in ROW_NAMES:
+            row = _row_subprocess(name, timeout_s=2400)
+            if "error" in row:
+                time.sleep(90)               # tunnel recovery, retry once
+                row = _row_subprocess(name, timeout_s=2400)
+            result["extra"][name] = row
+    print(json.dumps(result))
 
-    from gp_compressor_tpu.utils.cache import setup_compilation_cache
-    setup_compilation_cache()
 
+def _build_cfg():
     from gp_compressor_tpu.config import (CompressorConfig, GPConfig,
                                           KSVDConfig, PatchConfig,
                                           rgb_gp_config, rgb_ksvd_config)
-    from gp_compressor_tpu.utils import synthetic
-    from gp_compressor_tpu.workloads import compressor
-
-    pts_np, cols_np = synthetic.room_cloud(n=N_POINTS, seed=0)
-
-    # ---- CPU baseline (cached across rounds) ----
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            cpu_pps = json.load(f)["cpu_points_per_s"]
-    else:
-        cpu_pps = measure_cpu_baseline(pts_np, cols_np)
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"cpu_points_per_s": cpu_pps,
-                       "config": {"res": RES, "sz": SZ, "capacity": CAPACITY},
-                       "note": "serial float64 oracle, reference semantics"},
-                      f, indent=1)
-
-    cfg = CompressorConfig(
+    return CompressorConfig(
         patch=PatchConfig(res=RES, sz=SZ, max_patches=MAX_PATCHES,
                           max_points_per_patch=MAX_PPP,
                           approx_sphere_moments=True,
@@ -157,6 +194,34 @@ def main():
         rgb_ksvd=dataclasses.replace(rgb_ksvd_config(), atom_block=16),
     )
 
+def row_main(name: str):
+    """Child entry for one bench row (see _row_subprocess): full jax/TPU
+    setup, compute the shared compressed cloud, run the row, print its
+    JSON result as the final stdout line."""
+    import jax
+    import jax.numpy as jnp
+
+    from gp_compressor_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
+
+    from gp_compressor_tpu.utils import synthetic
+    from gp_compressor_tpu.workloads import compressor
+
+    pts_np, cols_np = synthetic.room_cloud(n=N_POINTS, seed=0)
+
+    # ---- CPU baseline (cached across rounds) ----
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cpu_pps = json.load(f)["cpu_points_per_s"]
+    else:
+        cpu_pps = measure_cpu_baseline(pts_np, cols_np)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_points_per_s": cpu_pps,
+                       "config": {"res": RES, "sz": SZ, "capacity": CAPACITY},
+                       "note": "serial float64 oracle, reference semantics"},
+                      f, indent=1)
+
+    cfg = _build_cfg()
     pts = jnp.asarray(pts_np)
     cols = jnp.asarray(cols_np)
     valid = jnp.ones(pts.shape[0], bool)
@@ -190,8 +255,15 @@ def main():
         use_pallas = False
         comp, out = pipeline(pts, cols, valid, key)
         sync(comp, out)
-    n_claimed = int(jnp.sum(comp.patch.mask))
 
+    if name != "headline":
+        fn = {"calibrated": bench_calibrated, "nuts": bench_nuts,
+              "registration": bench_registration, "mapping": bench_mapping,
+              "smc": bench_smc, "ksvd": bench_ksvd}[name]
+        print(json.dumps(fn(pts, cols, valid, cfg, comp, use_pallas)))
+        return
+
+    n_claimed = int(jnp.sum(comp.patch.mask))
     times = []
     rmses = []
     for i in range(3):
@@ -224,20 +296,6 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-
-    if os.environ.get("GPTPU_BENCH_HEADLINE_ONLY") != "1":
-        for name, fn in (("calibrated", bench_calibrated),
-                         ("nuts", bench_nuts),
-                         ("registration", bench_registration),
-                         ("mapping", bench_mapping),
-                         ("smc", bench_smc),
-                         ("ksvd", bench_ksvd)):
-            try:
-                result["extra"][name] = fn(pts, cols, valid, cfg, comp,
-                                           use_pallas)
-            except Exception as e:                       # never lose headline
-                result["extra"][name] = {"error": f"{type(e).__name__}: {e}"}
-
     print(json.dumps(result))
 
 
@@ -757,4 +815,8 @@ def bench_ksvd(pts, cols, valid, cfg, comp, use_pallas):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
+        row_main(sys.argv[2])
+    else:
+        main()
